@@ -1,44 +1,60 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares it against the matching ``oracle_sql()[name]`` via DuckDB (row-count +
+schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ``ray.init()`` / ``ray.shutdown()`` —
+the caller owns the Ray session.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# Make the library importable regardless of the caller's CWD. (Ray *workers*
+# additionally resolve the module via the driver's CWD in local mode, so run
+# with CWD=/root/repo — which is where this file lives.)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: one full scheduled-copy tick — all five anomaly
+    detectors over the events stream, unioned and deduplicated into the
+    copy-log shape (reference ``tinybird/pipes/copy_*.pipe`` → ``dedup_log``,
+    SURVEY.md §3.2)."""
+    from use_case_real_time_anomaly_detection_ray.pipelines import anomaly
+    from use_case_real_time_anomaly_detection_ray.pipelines.queries import (
+        EVENTS_PARAMS,
+        _events,
+        _now,
+    )
+
+    return anomaly.copy_log(_events(SF0001), EVENTS_PARAMS, _now(SF0001))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(ANOMALY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names). Non-SQL-expressible
+    ops are intentionally absent (driver records a rows-only check)."""
+    from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_ORACLE
+
+    out: dict[str, str] = {}
+    out.update(ANOMALY_ORACLE)
+    return out

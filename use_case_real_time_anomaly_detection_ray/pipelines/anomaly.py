@@ -1,0 +1,442 @@
+"""The five anomaly-detection methods as Ray Data pipelines.
+
+Each function takes an ``(id, timestamp, value)``-shaped ``ray.data.Dataset``
+(the reference's canonical contract, ``readme.md:106-110``), a
+:class:`DetectorParams`, and a deterministic ``now`` anchor (the reference
+polls relative to ``NOW()``; batch re-expression anchors to the max observed
+timestamp so runs are reproducible), and returns a lazy violations Dataset
+with the copy-log schema ``(id, timestamp, value, anomaly_type, note)``
+(``copy_log.datasource:3-8``).
+
+Execution shape (SURVEY.md §2.2–2.6):
+
+* window + predicate filters are vectorized ``pyarrow.compute`` kernels inside
+  ``map_batches`` over zero-copy Arrow batches — stateless tasks;
+* per-id stats (z-score avg/stddevPop, IQR quartiles) are tiny grouped
+  aggregates (one row per sensor) **broadcast** to the detect scan — no
+  all-to-all shuffle of raw rows;
+* ordered-window semantics (lag, latest-per-key) shuffle only the filtered
+  detect window / per-block partials.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Mean, Std
+
+from ..config import DetectorParams
+from ..functions import scalar
+from ..stages.join import broadcast_join
+from ..stages.reduce import distinct_rows, latest_by_key
+from ..stages.window import lag_shift
+
+NowLike = Union[str, _dt.datetime, np.datetime64, pd.Timestamp]
+
+
+def _to_dt64(now: NowLike) -> np.datetime64:
+    return np.datetime64(pd.Timestamp(now), "us")
+
+
+def _cutoff(now: NowLike, seconds: float) -> np.datetime64:
+    return _to_dt64(now) - np.timedelta64(int(seconds * 1_000_000), "us")
+
+
+def timestamp_delta_seconds(ts: pd.Series, prev: pd.Series) -> pd.Series:
+    """(ts - prev) in seconds as float64, computed as exact microsecond int
+    difference / 1e6 — bitwise-reproducible against a SQL engine's
+    ``date_diff('microsecond', ...) / 1000000.0`` (pandas
+    ``.dt.total_seconds()`` goes through nanoseconds, which overflows double
+    precision for month-scale deltas)."""
+    a = ts.to_numpy(dtype="datetime64[us]").astype("int64")
+    b = prev.to_numpy(dtype="datetime64[us]")
+    nat = np.isnat(b)
+    d = (a - b.astype("int64")).astype("float64") / 1e6
+    d[nat] = np.nan
+    return pd.Series(d, index=ts.index)
+
+
+def _window_filter(ds, lo: np.datetime64, hi: np.datetime64 | None = None,
+                   sensor_id: int | None = None):
+    """`timestamp > lo [AND timestamp <= hi] [AND id = sensor]` as one
+    vectorized Arrow filter (reference window filters, SURVEY.md §2.2 F4/F5)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["timestamp"], pa.scalar(lo, pa.timestamp("us")))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less_equal(t["timestamp"], pa.scalar(hi, pa.timestamp("us"))))
+        if sensor_id is not None:
+            mask = pc.and_(mask, pc.equal(t["id"], pa.scalar(sensor_id)))
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+#: Output contract = copy_log schema (``copy_log.datasource:3-8``), with the
+#: id/value widening documented in :data:`..sources.readers.INCOMING_DATA_SCHEMA`.
+LOG_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("timestamp", pa.timestamp("us")),
+        ("value", pa.float64()),
+        ("anomaly_type", pa.string()),
+        ("note", pa.string()),
+    ]
+)
+
+
+def _finalize(df: pd.DataFrame, anomaly_type: str, notes) -> pa.Table:
+    """Project to the copy-log contract as a typed Arrow table (typed even when
+    empty, so downstream schema unification never sees object columns)."""
+    return pa.table(
+        {
+            "id": pa.array(df["id"].to_numpy(dtype="int64", na_value=0), pa.int64()),
+            "timestamp": pa.Array.from_pandas(df["timestamp"], type=pa.timestamp("us")),
+            "value": pa.array(df["value"].to_numpy(dtype="float64"), pa.float64()),
+            "anomaly_type": pa.array([anomaly_type] * len(df), pa.string()),
+            "note": pa.array(list(notes), pa.string()),
+        },
+        schema=LOG_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. out-of-range  (copy_out_of_range.pipe:24-47; endpoint out_of_range.pipe)
+# ---------------------------------------------------------------------------
+
+def out_of_range(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+    latest_only: bool = False,
+) -> "ray.data.Dataset":
+    """``(value < min OR value > max) AND timestamp > NOW() - detect_window``
+    (``copy_out_of_range.pipe:32``, correctly parenthesized — quirk Q1 in
+    SURVEY.md §2.9 resolved in the copy pipe's favor). With
+    ``latest_only=True`` keep only the newest detection per sensor
+    (``ORDER BY timestamp DESC LIMIT 1 BY id``, ``copy_out_of_range.pipe:46-47``).
+    """
+    lo = _cutoff(now, params.detect_window_seconds)
+    mn, mx = params.min_value, params.max_value
+
+    def detect(t: pa.Table) -> pa.Table:
+        oob = pc.or_(pc.less(t["value"], pa.scalar(mn)), pc.greater(t["value"], pa.scalar(mx)))
+        mask = pc.and_(oob, pc.greater(t["timestamp"], pa.scalar(lo, pa.timestamp("us"))))
+        if params.sensor_id is not None:
+            mask = pc.and_(mask, pc.equal(t["id"], pa.scalar(params.sensor_id)))
+        return t.filter(mask)
+
+    hits = ds.map_batches(detect, batch_format="pyarrow")
+    if latest_only:
+        hits = latest_by_key(hits, ["id"], ["timestamp", "value"])
+    note = scalar.note_out_of_range(mn, mx)
+
+    def fmt(df: pd.DataFrame) -> pa.Table:
+        return _finalize(df, "out-of-range", [note] * len(df))
+
+    return hits.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 2. timeout  (copy_timeout.pipe:17-41; endpoint timeout.pipe)
+# ---------------------------------------------------------------------------
+
+def timeout(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+) -> "ray.data.Dataset":
+    """Latest report per sensor (``ORDER BY timestamp DESC LIMIT 1 BY id``,
+    ``copy_timeout.pipe:21-22``) filtered to those older than
+    ``NOW() - timeout_seconds`` (``copy_timeout.pipe:41``).
+
+    The latest-per-key scan is the engine's partial-argmax reduction
+    (:func:`..stages.reduce.latest_by_key`): full history is scanned block-
+    parallel but the shuffle moves ≤ one row per (sensor, block)."""
+    cut = _cutoff(now, params.timeout_seconds)
+    latest = latest_by_key(ds, ["id"], ["timestamp", "value"])
+
+    def stale(t: pa.Table) -> pa.Table:
+        mask = pc.less(t["timestamp"], pa.scalar(cut, pa.timestamp("us")))
+        if params.sensor_id is not None:
+            mask = pc.and_(mask, pc.equal(t["id"], pa.scalar(params.sensor_id)))
+        return t.filter(mask)
+
+    def fmt(df: pd.DataFrame) -> pa.Table:
+        return _finalize(df, "timeout", [scalar.NOTE_TIMEOUT] * len(df))
+
+    return latest.map_batches(stale, batch_format="pyarrow").map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 3. rate-of-change  (copy_rate_of_change.pipe:26-59)
+# ---------------------------------------------------------------------------
+
+def rate_of_change(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+) -> "ray.data.Dataset":
+    """Per-sensor slope between consecutive reports inside the detect window:
+    ``slope = (value - previous_value) / (timestamp - previous_timestamp)``
+    with ``lagInFrame`` semantics (``copy_rate_of_change.pipe:30-41``), flagged
+    when ``ABS(slope) > max_slope`` (``:58``).
+
+    The lag is computed *within the filtered window* (ClickHouse applies the
+    window function after WHERE), so only the window shuffles. First row per
+    sensor has no previous → excluded (quirk Q5: the reference's epoch-0
+    default produces a near-zero slope that the filter drops)."""
+    lo = _cutoff(now, params.detect_window_seconds)
+    win = _window_filter(ds, lo, sensor_id=params.sensor_id)
+    lagged = lag_shift(win, "id", "timestamp", ["timestamp", "value"])
+
+    def slope_filter(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _finalize(df, "rate-of-change", [])
+        dt_s = timestamp_delta_seconds(df["timestamp"], df["previous_timestamp"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (df["value"] - df["previous_value"]) / dt_s
+        vdiff = df["value"] - df["previous_value"]
+        keep = np.abs(slope) > params.max_slope  # NaN (first row / Δt=0&Δv=0) compares False
+        df, slope, vdiff = df[keep], slope[keep], vdiff[keep]
+        notes = [scalar.note_rate_of_change(s, params.max_slope, v)
+                 for s, v in zip(slope, vdiff)]
+        return _finalize(df, "rate-of-change", notes)
+
+    return lagged.map_batches(slope_filter, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 4. z-score  (copy_z_score.pipe:24-56)
+# ---------------------------------------------------------------------------
+
+def per_id_mean_std(
+    ds: "ray.data.Dataset",
+    now: NowLike,
+    stats_window_minutes: int,
+    exact_cents: bool = False,
+) -> pd.DataFrame:
+    """The stats CTE (``copy_z_score.pipe:30-37``): per-id ``avg`` and
+    ``stddevPop`` over the stats window. Ray's grouped aggregates pre-combine
+    per block, so the shuffle moves one partial per (id, block); the result is
+    one row per sensor — the broadcast side of the join.
+
+    ``exact_cents=True`` computes both moments from exact int64 sums of
+    ``floor(value*100 + 0.5)`` (valid when values carry ≤2 decimals, as the
+    oracle tables do). Integer sums are order-independent, so the result is
+    bitwise-reproducible against any SQL engine evaluating
+    ``(sc/n)/100`` / ``sqrt(ss/n - (sc/n)^2)/100`` — unlike float summation,
+    whose last-ulp depends on reduction order."""
+    hi = _to_dt64(now)
+    lo = _cutoff(now, stats_window_minutes * 60)
+    win = _window_filter(ds, lo, hi)
+    if not exact_cents:
+        agg = win.groupby("id").aggregate(
+            Mean("value", alias_name="average"),
+            Std("value", ddof=0, alias_name="std_dev"),  # stddevPop, z_score.pipe:18
+        )
+        stats = agg.to_pandas()
+        # Std(ddof=0) of a single-row group: Ray returns NaN/None; stddevPop = 0.
+        stats["std_dev"] = stats["std_dev"].astype(float).fillna(0.0)
+        return stats
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        c = np.floor(df["value"].to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"id": df["id"].to_numpy(), "sc": c, "ss": c * c})
+        out = (
+            g.groupby("id", sort=False)
+            .agg(sc=("sc", "sum"), ss=("ss", "sum"), n=("sc", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = win.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("id", sort=False)[["sc", "ss", "n"]].sum().reset_index()
+    mean_c = agg["sc"].to_numpy(dtype="float64") / agg["n"].to_numpy(dtype="float64")
+    ss_n = agg["ss"].to_numpy(dtype="float64") / agg["n"].to_numpy(dtype="float64")
+    var_c = ss_n - mean_c * mean_c
+    return pd.DataFrame(
+        {
+            "id": agg["id"],
+            "average": mean_c / 100.0,
+            "std_dev": np.sqrt(np.maximum(var_c, 0.0)) / 100.0,
+        }
+    )
+
+
+def z_score(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+) -> "ray.data.Dataset":
+    """``zscore = (value - avg) / stddevPop`` per sensor over the stats window,
+    flagged when ``zscore < -t OR zscore > t`` (``copy_z_score.pipe:38,55``).
+
+    Division by a zero stddev follows IEEE like ClickHouse (quirk Q4): a value
+    equal to the constant window yields NaN → never flagged; a detect row can
+    only differ from a zero-variance stats window if it lies outside the stats
+    window, which cannot happen since the detect window is a suffix of it."""
+    stats = per_id_mean_std(ds, now, params.stats_window_minutes,
+                            exact_cents=params.exact_cents)
+    hi = _to_dt64(now)
+    lo = _cutoff(now, params.detect_window_seconds)
+    win = _window_filter(ds, lo, hi, sensor_id=params.sensor_id)
+    joined = broadcast_join(win, stats, on=["id"], how="inner")
+    t = params.zscore_threshold
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _finalize(df, "z-score", [])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (df["value"] - df["average"]) / df["std_dev"]
+        keep = (z < -t) | (z > t)
+        df, z = df[keep], z[keep]
+        avg_r = np.round(df["average"], 2)  # ROUND(...,2), copy_z_score.pipe:39-40
+        std_r = np.round(df["std_dev"], 2)
+        notes = [scalar.note_z_score(zz, t, a, s) for zz, a, s in zip(z, avg_r, std_r)]
+        return _finalize(df, "z-score", notes)
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 5. interquartile-range  (copy_iqr.pipe:45-82; window semantics per iqr.pipe
+#    — quirk Q3: copy_iqr anchors windows at toDate(NOW()); we follow the
+#    endpoint pipe's NOW()-relative windows, the documented intent)
+# ---------------------------------------------------------------------------
+
+def per_id_quartiles(
+    ds: "ray.data.Dataset",
+    now: NowLike,
+    stats_window_minutes: int,
+    iqr_multiplier: float,
+) -> pd.DataFrame:
+    """The IQR stats CTE (``copy_iqr.pipe:45-56``): per-id
+    ``quantileExact(0.25/0.5/0.75)`` with ClickHouse nearest-rank semantics
+    (sorted[floor(level*n)]) and ``IQR = (q3-q1) * multiplier``.
+
+    Exact quantiles need the group's values; the stats window is a bounded
+    suffix (10 min of data per sensor), so a per-id ``map_groups`` sort is
+    cheap. At unbounded scale the validation engine swaps in the mergeable
+    t-digest accumulator (:mod:`..state.tdigest`)."""
+    hi = _to_dt64(now)
+    lo = _cutoff(now, stats_window_minutes * 60)
+    win = _window_filter(ds, lo, hi)
+
+    def quart(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = v.size
+        q1 = float(v[scalar.ch_quantile_exact_index(n, 0.25)])
+        q2 = float(v[scalar.ch_quantile_exact_index(n, 0.5)])
+        q3 = float(v[scalar.ch_quantile_exact_index(n, 0.75)])
+        iqr_v = (q3 - q1) * iqr_multiplier
+        return pd.DataFrame(
+            {"id": [g["id"].iloc[0]], "lower_quartile": [q1], "mid_quartile": [q2],
+             "upper_quartile": [q3], "iqr": [iqr_v],
+             "lower_raw": [q1 - iqr_v], "upper_raw": [q3 + iqr_v]}
+        )
+
+    return win.groupby("id").map_groups(quart, batch_format="pandas").to_pandas()
+
+
+def iqr(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+) -> "ray.data.Dataset":
+    """Values outside ``[q1 - IQR·k, q3 + IQR·k]`` per sensor
+    (``copy_iqr.pipe:64-65``), reported with ROUND(bounds, 2) in the note
+    (``:62-63,80``) and a ``SELECT DISTINCT`` over the joined rows (``:58``)."""
+    stats = per_id_quartiles(ds, now, params.stats_window_minutes, params.iqr_multiplier)
+    hi = _to_dt64(now)
+    lo = _cutoff(now, params.detect_window_seconds)
+    win = _window_filter(ds, lo, hi, sensor_id=params.sensor_id)
+    joined = broadcast_join(win, stats, on=["id"], how="inner")
+
+    def fence(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _finalize(df, "interquartile-range", [])
+        keep = (df["value"] > df["upper_raw"]) | (df["value"] < df["lower_raw"])
+        df = df[keep]
+        lo_b = np.round(df["lower_raw"], 2)
+        hi_b = np.round(df["upper_raw"], 2)
+        notes = [scalar.note_iqr(l, h) for l, h in zip(lo_b, hi_b)]
+        return _finalize(df, "interquartile-range", notes)
+
+    hits = joined.map_batches(fence, batch_format="pandas")
+    return distinct_rows(hits, ["id", "timestamp", "value", "anomaly_type", "note"])
+
+
+# ---------------------------------------------------------------------------
+# Log assembly  (five copy pipes → copy_log_duplicates → dedup → copy_log;
+#  SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+def copy_log_duplicates(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+) -> "ray.data.Dataset":
+    """One scheduled tick of all five copy pipes unioned into the common log
+    schema (``content/copies-pipes.md:25-46``). Contains designed duplicates
+    across overlapping runs (quirk Q6) — deduplicate with :func:`dedup_log`."""
+    parts = [
+        out_of_range(ds, params, now, latest_only=True),
+        timeout(ds, params, now),
+        rate_of_change(ds, params, now),
+        z_score(ds, params, now),
+        iqr(ds, params, now),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def dedup_log(log: "ray.data.Dataset") -> "ray.data.Dataset":
+    """``SELECT * FROM copy_log_duplicates LIMIT 1 BY timestamp, id,
+    anomaly_type`` (``dedup_log.pipe:1-9``) — the materialized dedup into
+    ``copy_log`` (ReplacingMergeTree key ``timestamp,id,anomaly_type``,
+    ``copy_log.datasource:10-12``)."""
+    return distinct_rows(log, ["timestamp", "id", "anomaly_type"])
+
+
+def copy_log(
+    ds: "ray.data.Dataset",
+    params: DetectorParams,
+    now: NowLike,
+) -> "ray.data.Dataset":
+    return dedup_log(copy_log_duplicates(ds, params, now))
+
+
+# ---------------------------------------------------------------------------
+# Read endpoints (SURVEY.md §2.2 F9, §2.6 W2/W5, §2.5 A4/A5)
+# ---------------------------------------------------------------------------
+
+def most_recent(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Most recent report per sensor, listed ``ORDER BY id ASC``
+    (``most_recent.pipe:14-15``)."""
+    return latest_by_key(ds, ["id"], ["timestamp", "value"]).sort("id")
+
+
+def get_data(
+    ds: "ray.data.Dataset",
+    now: NowLike,
+    minutes: int = 30,
+    sensor_id: int | None = None,
+) -> "ray.data.Dataset":
+    """Raw window read, newest first (``get_data.pipe:11-20``)."""
+    lo = _cutoff(now, minutes * 60)
+    return _window_filter(ds, lo, sensor_id=sensor_id).sort("timestamp", descending=True)
+
+
+def anomaly_types_seen(log: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct anomaly types in the log (``get_anomalies.pipe:24-30``)."""
+    return log.groupby("anomaly_type").count()

@@ -1,0 +1,70 @@
+"""Per-group ordered-window primitives.
+
+The reference's only window function is
+``lagInFrame(x, 1) OVER (PARTITION BY id ORDER BY timestamp ASC ROWS BETWEEN 1
+PRECEDING AND 1 PRECEDING)`` (``copy_rate_of_change.pipe:36-41``). Ray Data has
+no window functions; the native expression is ``groupby(key).map_groups`` where
+the group function sorts by the order column and shifts arrays by one —
+a hash-shuffle on the group key, ordered work within the group
+(SURVEY.md §2.6 W1). Callers MUST pre-filter to the detect window so the
+shuffle moves only the window, never full history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def lag_shift(
+    ds: "ray.data.Dataset",
+    key: str | Sequence[str],
+    order: str,
+    cols: Sequence[str],
+    prefix: str = "previous_",
+) -> "ray.data.Dataset":
+    """For each group (by ``key``), sort ascending by ``order`` and add
+    ``prefix + c`` = previous row's value of ``c`` for each ``c`` in ``cols``.
+
+    Semantics match ``lagInFrame`` with a one-row frame: the first row of each
+    group has **no** previous row. ClickHouse fills type-default values there
+    (epoch-0 / 0.0, quirk Q5 in SURVEY.md §2.9); we emit ``NaN``/``NaT`` so the
+    first row can never fake a slope — equivalent to the reference pipeline's
+    net behavior, where the epoch-0 default makes ``|slope|`` tiny and the
+    ``ABS(slope) > max_slope`` filter drops it (``copy_rate_of_change.pipe:58``).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(cols)
+
+    def shift_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(order, kind="mergesort")
+        for c in cols:
+            g[prefix + c] = g[c].shift(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.groupby(keys).map_groups(shift_group, batch_format="pandas")
+
+
+def top_k_by_key(
+    ds: "ray.data.Dataset",
+    key: str | Sequence[str],
+    order: str,
+    k: int,
+    descending: bool = True,
+) -> "ray.data.Dataset":
+    """``LIMIT k BY key`` after ``ORDER BY order`` — the reference's per-sensor
+    throttle (``content/interquartile-range.md:104``, SURVEY.md §2.6 W3)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def head_group(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            g.sort_values(order, ascending=not descending, kind="mergesort").head(k),
+            preserve_index=False,
+        )
+
+    return ds.groupby(keys).map_groups(head_group, batch_format="pandas")
