@@ -1,0 +1,197 @@
+"""Validation engine end-to-end: planted violations recovered exactly, gates
+match an independent pandas oracle, resume reproduces identical output."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from use_case_real_time_anomaly_detection_ray.config import ValidationConfig
+from use_case_real_time_anomaly_detection_ray.datagen import CorpusSpec, generate_corpus
+from use_case_real_time_anomaly_detection_ray.functions import scalar
+from use_case_real_time_anomaly_detection_ray.pipelines import validate
+
+CFG = ValidationConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus") / "c")
+    exp = generate_corpus(d, CorpusSpec())
+    return d, exp
+
+
+@pytest.fixture(scope="module")
+def result(corpus, tmp_path_factory, ray_session):
+    cdir, exp = corpus
+    odir = str(tmp_path_factory.mktemp("vout") / "o")
+    res = validate.run(cdir, odir, CFG)
+    return res, exp
+
+
+def _key(df):
+    return set(zip(df["part"].astype(int), df["repo"], df["path"], df["commit"]))
+
+
+def test_range_exact(result):
+    res, exp = result
+    got = res.violations[res.violations.check == "range"]
+    want = {(r["part"], r["repo"], r["path"], r["commit"]) for r in exp["range"]}
+    assert _key(got) == want
+    # value = measured content_length; sha256 present on every row violation
+    lens = {(r["part"], r["repo"], r["path"], r["commit"]): r["length"] for r in exp["range"]}
+    for t in got.itertuples():
+        assert t.value == lens[(int(t.part), t.repo, t.path, t.commit)]
+        assert len(t.sha256) == 64
+        assert t.note == scalar.note_out_of_range(CFG.min_len, CFG.max_len)
+        assert t.anomaly_type == "out-of-range"
+
+
+def test_uniqueness_exact(result):
+    res, exp = result
+    got = res.violations[res.violations.check == "uniqueness"]
+    want = {(u["part"], u["repo"], u["path"], u["commit"]) for u in exp["uniqueness"]}
+    assert _key(got) == want
+    assert (got["value"] == 2.0).all()
+
+
+def test_referential_exact(result):
+    res, exp = result
+    got = res.violations[res.violations.check == "referential"]
+    want = {(r["part"], r["repo"]) for r in exp["referential"]}
+    assert set(zip(got["part"].astype(int), got["repo"])) == want
+
+
+def test_staleness_exact(result):
+    res, exp = result
+    got = res.violations[res.violations.check == "staleness"]
+    assert got["repo"].tolist() == [exp["staleness"]["repo"]]
+    assert int(got["part"].iloc[0]) == exp["staleness"]["last_part"]
+    assert got["note"].iloc[0] == scalar.NOTE_TIMEOUT
+
+
+def test_drift_flags_exactly_planted_repos(result):
+    res, exp = result
+    got = res.violations[res.violations.check == "drift_rate"]
+    flagged = set(got["repo"])
+    assert flagged == {exp["trend_up"], exp["trend_down"],
+                       exp["step"]["repo"], exp["spike"]["repo"]}
+    # the step repo is flagged exactly at the step part
+    step = got[got.repo == exp["step"]["repo"]]
+    assert step["part"].astype(int).tolist() == [exp["step"]["part"]]
+
+
+def test_spike_caught_by_both_gates(result):
+    res, exp = result
+    spike_repo, spike_part = exp["spike"]["repo"], exp["spike"]["part"]
+    for check in ("zscore", "iqr"):
+        got = res.violations[res.violations.check == check]
+        assert (spike_repo, spike_part) in set(zip(got["repo"], got["part"].astype(int)))
+
+
+def test_control_repo_clean(result):
+    res, exp = result
+    assert (res.violations["repo"] == exp["control"]).sum() == 0
+
+
+def test_verdicts_shape(result):
+    res, exp = result
+    v = res.verdicts
+    n_parts = exp["spec"]["n_parts"]
+    assert len(v) == n_parts * len(CFG.checks)
+    assert set(v.status) <= {"pass", "fail"}
+    agg = res.violations.groupby(["part", "check"]).size()
+    for t in v.itertuples():
+        expected_n = int(agg.get((t.part, t.check), 0))
+        assert t.n_violations == expected_n
+        assert (t.status == "fail") == (expected_n > 0)
+
+
+def _gates_oracle(cdir, exp, cfg):
+    """Independent single-machine oracle: pandas over the raw parquet, same
+    gate formulas (SURVEY.md §5 'oracle cross-check of stats with pandas')."""
+    parts = validate.discover_parts(cdir)
+    frames = []
+    for p, files in parts.items():
+        for f in files:
+            df = pq.read_table(f, columns=["repo", "part", "content"]).to_pandas()
+            df["L"] = df["content"].str.len()
+            frames.append(df[["repo", "part", "L"]])
+    df = pd.concat(frames)
+    df = df[(df.L >= cfg.min_len) & (df.L <= cfg.max_len)]
+    manifest = set(pq.read_table(os.path.join(cdir, "repos.parquet"))["repo"].to_pylist())
+    df = df[df.repo.isin(manifest)]
+    out = []
+    gmax = max(parts)
+    for repo, g in df.groupby("repo"):
+        m = g.groupby("part")["L"].mean()
+        ps = m.index.to_numpy()
+        vals = m.to_numpy()
+        if ps.max() < gmax - cfg.stale_parts:
+            out.append(("staleness", repo, int(ps.max())))
+        avg, std = vals.mean(), vals.std(ddof=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vals - avg) / std
+        for p, zi in zip(ps, z):
+            if abs(zi) > cfg.zscore_threshold:
+                out.append(("zscore", repo, int(p)))
+        srt = np.sort(vals)
+        q1 = srt[scalar.ch_quantile_exact_index(srt.size, 0.25)]
+        q3 = srt[scalar.ch_quantile_exact_index(srt.size, 0.75)]
+        iqr_v = (q3 - q1) * cfg.iqr_multiplier
+        for p, mi in zip(ps, vals):
+            if mi < q1 - iqr_v or mi > q3 + iqr_v:
+                out.append(("iqr", repo, int(p)))
+        slope = np.diff(vals) / np.diff(ps)
+        for p, s in zip(ps[1:], slope):
+            if abs(s) > cfg.max_slope:
+                out.append(("drift_rate", repo, int(p)))
+    return set(out)
+
+
+def test_gates_match_pandas_oracle(result, corpus):
+    res, exp = result
+    cdir, _ = corpus
+    want = _gates_oracle(cdir, exp, CFG)
+    got = {
+        (t.check, t.repo, int(t.part))
+        for t in res.violations.itertuples()
+        if t.check in ("staleness", "zscore", "iqr", "drift_rate")
+    }
+    assert got == want
+
+
+def test_resume_after_crash_is_identical(corpus, tmp_path_factory, ray_session):
+    cdir, exp = corpus
+    odir = str(tmp_path_factory.mktemp("vres") / "o")
+    full = validate.run(cdir, odir, CFG)
+
+    # simulate a crash after 4 partitions: truncate the manifest
+    mpath = os.path.join(odir, "manifest.jsonl")
+    lines = open(mpath).read().strip().splitlines()
+    with open(mpath, "w") as f:
+        f.write("\n".join(lines[:4]) + "\n")
+
+    resumed = validate.run(cdir, odir, CFG, resume=True)
+    assert sorted(resumed.parts_skipped) == [0, 1, 2, 3]
+    assert len(resumed.parts_scanned) == len(lines) - 4
+
+    a = full.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    b = resumed.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        full.verdicts.reset_index(drop=True), resumed.verdicts.reset_index(drop=True)
+    )
+
+
+def test_rerun_noop_resume(corpus, tmp_path_factory, ray_session):
+    cdir, _ = corpus
+    odir = str(tmp_path_factory.mktemp("vnoop") / "o")
+    first = validate.run(cdir, odir, CFG)
+    second = validate.run(cdir, odir, CFG, resume=True)
+    assert second.parts_scanned == []
+    a = first.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    b = second.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,520 @@
+"""The validation engine: schema + constraint checks over the code corpus.
+
+Re-expresses the reference's five detection methods as constraint checks over
+``(repo, path, commit, lang, content, part)`` rows (SURVEY.md §7 transposition
+table), Ray-Data-first:
+
+========================  =====================================================
+reference method          target check (anomaly_type kept from the reference)
+========================  =====================================================
+out-of-range              ``range``: content_length outside [min_len, max_len]
+                          (``copy_out_of_range.pipe:32``)
+timeout                   ``staleness``: repo's newest part older than
+                          ``stale_parts`` behind the corpus head
+                          (``copy_timeout.pipe:21-41``)
+rate-of-change            ``drift_rate``: slope of per-(repo,part) mean
+                          content_length between consecutive parts
+                          (``copy_rate_of_change.pipe:29,58``)
+z-score                   ``zscore``: per-(repo,part) metric scored against the
+                          repo's own mean/stddevPop (``copy_z_score.pipe:24-56``)
+IQR                       ``iqr``: same metric vs quantileExact fences
+                          (``copy_iqr.pipe:45-82``)
+dedup LIMIT 1 BY          ``uniqueness`` on (repo,path,commit)
+                          (``dedup_log.pipe:6``)
+(north-star addition)     ``referential``: repo must exist in the repos manifest
+========================  =====================================================
+
+Execution shape (why this scales; SURVEY.md §4):
+
+* **One content pass per partition.** The heavy columns (``content``) are read
+  once in the derive stage, which computes ``content_length`` + ``sha256`` and
+  *drops content immediately* — everything downstream moves ~100-byte rows.
+* **No raw-row shuffle for stats.** Per-(repo, part) moments are pre-aggregated
+  inside each ``map_batches`` call (one row per repo per block); the monorepo
+  skew (one repo ≈ 30 % of rows) collapses before any exchange, which is the
+  salted-repartition concern handled by construction.
+* **Gates run on the aggregate**, a (repos × parts)-row table, via
+  ``groupby(repo).map_groups`` — each repo's series fits trivially in memory.
+* **Uniqueness/referential scan keys only** (column-pruned read, no content),
+  so they can re-run over the whole corpus cheaply on every resume; the
+  content-heavy per-partition work is checkpointed in the manifest and skipped.
+* **Resumable output**: violations land in ``out/violations/part=K/`` per
+  partition plus ``out/violations/global/``; the manifest records lineage +
+  per-repo accumulator snapshots per partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import ValidationConfig
+from ..functions import scalar
+from ..state.manifest import Manifest
+from ..stages.reduce import to_arrow_single
+
+VIOLATION_COLS = ["check", "part", "repo", "path", "commit", "value",
+                  "anomaly_type", "note", "sha256"]
+
+
+def _viol_table(rows: dict[str, list]) -> pa.Table:
+    n = len(rows["check"])
+    return pa.table(
+        {
+            "check": pa.array(rows["check"], pa.string()),
+            "part": pa.array(rows["part"], pa.int32()),
+            "repo": pa.array(rows["repo"], pa.string()),
+            "path": pa.array(rows.get("path", [""] * n), pa.string()),
+            "commit": pa.array(rows.get("commit", [""] * n), pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "anomaly_type": pa.array(rows["anomaly_type"], pa.string()),
+            "note": pa.array(rows["note"], pa.string()),
+            "sha256": pa.array(rows.get("sha256", [""] * n), pa.string()),
+        }
+    )
+
+
+def discover_parts(corpus_dir: str) -> dict[int, list[str]]:
+    """Partition list from the directory layout (``part=K/``) — the engine's
+    unit of validation and resume; no data scan needed."""
+    parts: dict[int, list[str]] = {}
+    for name in sorted(os.listdir(corpus_dir)):
+        if name.startswith("part="):
+            k = int(name.split("=", 1)[1])
+            pdir = os.path.join(corpus_dir, name)
+            parts[k] = sorted(
+                os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 — per-partition content pass: derive + range violations + moments
+# ---------------------------------------------------------------------------
+
+def derive_light(batch: pa.Table) -> pa.Table:
+    """content → (content_length, sha256), then DROP content. The only stage
+    that touches the heavy column; sha256 is the per-row invariant carried to
+    the violation log (BASELINE.json input_hint)."""
+    content = batch["content"]
+    lengths = pc.utf8_length(content).cast(pa.int64())
+    # hashing is inherently per-row C work (hashlib releases the GIL per call)
+    buf = content.to_pylist()
+    digests = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in buf]
+    out = batch.drop_columns(["content"])
+    out = out.append_column("content_length", lengths)
+    out = out.append_column("sha256", pa.array(digests, pa.string()))
+    return out
+
+
+def range_violations(light: "ray.data.Dataset", cfg: ValidationConfig) -> "ray.data.Dataset":
+    """Row-level range check — the out-of-range predicate applied to
+    ``content_length`` (``copy_out_of_range.pipe:32``), note byte-format
+    ``min:.. max:..`` (``:44``)."""
+    note = scalar.note_out_of_range(cfg.min_len, cfg.max_len)
+
+    def check(t: pa.Table) -> pa.Table:
+        L = t["content_length"]
+        mask = pc.or_(pc.less(L, pa.scalar(cfg.min_len, pa.int64())),
+                      pc.greater(L, pa.scalar(cfg.max_len, pa.int64())))
+        bad = t.filter(mask)
+        n = bad.num_rows
+        return _viol_table(
+            {
+                "check": ["range"] * n,
+                "part": bad["part"].to_pylist(),
+                "repo": bad["repo"].to_pylist(),
+                "path": bad["path"].to_pylist(),
+                "commit": bad["commit"].to_pylist(),
+                "value": bad["content_length"].cast(pa.float64()).to_pylist(),
+                "anomaly_type": ["out-of-range"] * n,
+                "note": [note] * n,
+                "sha256": bad["sha256"].to_pylist(),
+            }
+        )
+
+    return light.map_batches(check, batch_format="pyarrow")
+
+
+def _moments_partial_fn(min_len: int, max_len: int):
+    """Per-block (part, repo) moment partials — the in-map pre-aggregation
+    that makes the stats exchange O(repos × blocks), immune to monorepo skew.
+
+    Out-of-range rows are *quarantined* from the distribution stats: they are
+    already reported by the range check, and letting a single 3000-char outlier
+    drag a 70-row partition mean would double-report one defect as a fake
+    drift/z-score finding. (The reference has the same separation: its z-score
+    stats window and its out-of-range check are independent pipes.)"""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        L = df["content_length"].astype("float64")
+        ok = (L >= min_len) & (L <= max_len)
+        df, L = df[ok], L[ok]
+        g = df.assign(_l=L, _l2=L * L).groupby(["part", "repo"], sort=False).agg(
+            n=("_l", "size"), s=("_l", "sum"), s2=("_l2", "sum"),
+            mn=("_l", "min"), mx=("_l", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return partial
+
+
+def repo_part_moments(light: "ray.data.Dataset", cfg: ValidationConfig) -> pd.DataFrame:
+    """Merged (part, repo) moments: n, mean, stddevPop, min, max. Partials are
+    tiny, so the final merge happens driver-side (the broadcast-side pattern,
+    SURVEY.md §2.4 J1)."""
+    parts = light.map_batches(
+        _moments_partial_fn(cfg.min_len, cfg.max_len), batch_format="pandas"
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"])
+    agg = parts.groupby(["part", "repo"], sort=False).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    ).reset_index()
+    return agg
+
+
+def finish_moments(agg: pd.DataFrame) -> pd.DataFrame:
+    n = agg["n"].to_numpy(dtype="float64")
+    mean = agg["s"].to_numpy(dtype="float64") / n
+    var = np.maximum(agg["s2"].to_numpy(dtype="float64") / n - mean * mean, 0.0)
+    out = agg.copy()
+    out["mean_len"] = mean
+    out["std_len"] = np.sqrt(var)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — key-only corpus scan: uniqueness + referential
+# ---------------------------------------------------------------------------
+
+def uniqueness_violations(
+    corpus_dir: str, cfg: ValidationConfig
+) -> "ray.data.Dataset":
+    """Duplicate (repo, path, commit) keys — the dedup-key machinery of
+    ``dedup_log.pipe:6`` turned into a constraint (SURVEY.md §2.7 D4).
+    Column-pruned read (keys only, never content); per-block pre-count, then a
+    keyed merge. Violation value = duplicate count."""
+    files = [f for frags in discover_parts(corpus_dir).values() for f in frags]
+    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit", "part"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["repo", "path", "commit"], sort=False).agg(
+            n=("part", "size"), part=("part", "min")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        n = int(g["n"].sum())
+        if n <= 1:
+            return _viol_table({k: [] for k in VIOLATION_COLS})
+        r = g.iloc[0]
+        return _viol_table(
+            {
+                "check": ["uniqueness"],
+                "part": [int(g["part"].min())],
+                "repo": [r["repo"]], "path": [r["path"]], "commit": [r["commit"]],
+                "value": [float(n)],
+                "anomaly_type": ["uniqueness"],
+                "note": [f"count:{n}"],
+            }
+        )
+
+    return partials.groupby(["repo", "path", "commit"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def referential_violations(
+    stats: pd.DataFrame, manifest_repos: set[str]
+) -> pa.Table:
+    """repo → repos-manifest integrity (north_star; SURVEY.md §2.4 J3). Runs
+    on the already-aggregated (part, repo) table — an anti-join against the
+    broadcast parent key set; value = offending row count."""
+    bad = stats[~stats["repo"].isin(manifest_repos)]
+    return _viol_table(
+        {
+            "check": ["referential"] * len(bad),
+            "part": bad["part"].astype(int).tolist(),
+            "repo": bad["repo"].tolist(),
+            "value": bad["n"].astype(float).tolist(),
+            "anomaly_type": ["referential"] * len(bad),
+            "note": [f"repo not in manifest; rows:{int(x)}" for x in bad["n"]],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — distribution gates on the (repo, part) aggregate
+# ---------------------------------------------------------------------------
+
+def gate_violations(
+    stats: pd.DataFrame,
+    cfg: ValidationConfig,
+    global_max_part: int,
+    manifest_repos: set[str] | None = None,
+) -> "ray.data.Dataset":
+    """z-score / IQR / drift-rate / staleness over each repo's per-part metric
+    series (mean content_length), distributed ``groupby(repo).map_groups``.
+
+    Per-repo semantics mirror the reference detectors exactly:
+    * zscore: ``(m - avg) / stddevPop`` with IEEE div-by-zero (quirk Q4),
+      flag ``|z| > t`` (``copy_z_score.pipe:38,55``)
+    * iqr: ClickHouse ``quantileExact`` fences ± IQR·k (``copy_iqr.pipe:47-65``)
+    * drift_rate: slope between consecutive parts, first part skipped
+      (quirk Q5; ``copy_rate_of_change.pipe:30-41,58``)
+    * staleness: newest part older than the cutoff (``copy_timeout.pipe:41``),
+      note verbatim ``timestamp is time of last report``
+    """
+    stats_f = finish_moments(stats)
+    if manifest_repos is not None:
+        # gates only judge repos that exist; dangling repos are the
+        # referential check's finding
+        stats_f = stats_f[stats_f["repo"].isin(manifest_repos)]
+    sds = ray.data.from_pandas(stats_f.reset_index(drop=True))
+    t = cfg.zscore_threshold
+    k = cfg.iqr_multiplier
+    max_slope = cfg.max_slope
+    stale_parts = cfg.stale_parts
+
+    def score_repo(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("part", kind="mergesort")
+        repo = g["repo"].iloc[0]
+        m = g["mean_len"].to_numpy(dtype="float64")
+        parts = g["part"].to_numpy(dtype="int64")
+        rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+
+        def emit(check, part, value, atype, note):
+            rows["check"].append(check)
+            rows["part"].append(int(part))
+            rows["repo"].append(repo)
+            rows["path"].append("")
+            rows["commit"].append("")
+            rows["value"].append(float(value))
+            rows["anomaly_type"].append(atype)
+            rows["note"].append(note)
+            rows["sha256"].append("")
+
+        # --- staleness (timeout) ---
+        if int(parts.max()) < global_max_part - stale_parts:
+            emit("staleness", int(parts.max()), float(parts.max()),
+                 "timeout", scalar.NOTE_TIMEOUT)
+
+        # --- zscore gate ---
+        avg = float(m.mean())
+        std = float(np.sqrt(np.maximum((m * m).mean() - avg * avg, 0.0)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (m - avg) / std
+        avg_r, std_r = scalar.round_half_even(avg, 2), scalar.round_half_even(std, 2)
+        for part, mi, zi in zip(parts, m, z):
+            if zi < -t or zi > t:
+                emit("zscore", part, mi, "z-score",
+                     scalar.note_z_score(zi, t, avg_r, std_r))
+
+        # --- iqr gate (ClickHouse quantileExact semantics) ---
+        if m.size:
+            srt = np.sort(m)
+            q1 = float(srt[scalar.ch_quantile_exact_index(srt.size, 0.25)])
+            q3 = float(srt[scalar.ch_quantile_exact_index(srt.size, 0.75)])
+            iqr_v = (q3 - q1) * k
+            lo_b, hi_b = q1 - iqr_v, q3 + iqr_v
+            for part, mi in zip(parts, m):
+                if mi < lo_b or mi > hi_b:
+                    emit("iqr", part, mi, "interquartile-range",
+                         scalar.note_iqr(scalar.round_half_even(lo_b, 2),
+                                         scalar.round_half_even(hi_b, 2)))
+
+        # --- drift rate (lag within the series, first element skipped) ---
+        if m.size >= 2:
+            d_m = np.diff(m)
+            d_p = np.diff(parts).astype("float64")
+            slope = d_m / d_p
+            for part, s_i, dv in zip(parts[1:], slope, d_m):
+                if abs(s_i) > max_slope:
+                    emit("drift_rate", part, s_i, "rate-of-change",
+                         scalar.note_rate_of_change(s_i, max_slope, dv))
+
+        return _viol_table(rows)
+
+    return sds.groupby("repo").map_groups(score_repo, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: run / resume
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RunResult:
+    violations: pd.DataFrame
+    verdicts: pd.DataFrame
+    parts_scanned: list[int]
+    parts_skipped: list[int]
+    out_dir: str
+
+
+def _stats_to_snapshot(stats: pd.DataFrame, part: int) -> list[dict[str, Any]]:
+    sub = stats[stats["part"] == part]
+    return [
+        {"repo": r.repo, "n": int(r.n), "s": float(r.s), "s2": float(r.s2),
+         "mn": float(r.mn), "mx": float(r.mx)}
+        for r in sub.itertuples()
+    ]
+
+
+def _snapshot_to_stats(records: dict[int, dict]) -> pd.DataFrame:
+    rows = []
+    for part, rec in records.items():
+        for s in rec.get("stats", []):
+            rows.append({"part": part, "repo": s["repo"], "n": s["n"], "s": s["s"],
+                         "s2": s["s2"], "mn": s["mn"], "mx": s["mx"]})
+    return pd.DataFrame(rows, columns=["part", "repo", "n", "s", "s2", "mn", "mx"])
+
+
+def run(
+    corpus_dir: str,
+    out_dir: str,
+    cfg: ValidationConfig = ValidationConfig(),
+    resume: bool = True,
+) -> RunResult:
+    """Full validation run with checkpoint/resume (see module docstring for the
+    phase structure). Idempotent per partition: re-running overwrites
+    ``out/violations/part=K/`` atomically and appends a superseding manifest
+    record (last record wins)."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = discover_parts(corpus_dir)
+    global_max_part = max(parts)
+    manifest = Manifest(out_dir)
+    done = manifest.done_parts() if resume else {}
+    todo = sorted(p for p in parts if p not in done)
+    skipped = sorted(p for p in parts if p in done)
+
+    # ---- phase 1: content pass over TODO partitions ----------------------
+    new_stats = pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"])
+    part_rows: dict[int, int] = {p: r.get("n_rows", 0) for p, r in done.items()}
+    if todo:
+        files = [f for p in todo for f in parts[p]]
+        ds = ray.data.read_parquet(files)
+        light = ds.map_batches(derive_light, batch_format="pyarrow")
+        # materialize once: range violations + moments both consume it
+        light = light.materialize()
+        rv = to_arrow_single(range_violations(light, cfg)).to_pandas()
+        new_stats = repo_part_moments(light, cfg)
+        for p in todo:
+            pv = rv[rv["part"] == p] if len(rv) else rv
+            pdir = os.path.join(out_dir, "violations", f"part={p}")
+            tmp = pdir + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pv.reset_index(drop=True), preserve_index=False)
+                if len(pv) else _viol_table({c: [] for c in VIOLATION_COLS}),
+                os.path.join(tmp, "violations.parquet"),
+            )
+            if os.path.exists(pdir):
+                import shutil
+
+                shutil.rmtree(pdir)
+            os.replace(tmp, pdir)
+            n_rows = int(new_stats[new_stats["part"] == p]["n"].sum())
+            part_rows[p] = n_rows
+            manifest.mark_done(
+                p, fragments=parts[p], n_rows=n_rows,
+                stats_snapshot=_stats_to_snapshot(new_stats, p),
+                metrics={"n_range_violations": int(len(pv))},
+            )
+
+    # ---- resume: merge stats snapshots of DONE partitions -----------------
+    old_stats = _snapshot_to_stats(done)
+    non_empty = [s for s in (old_stats, new_stats) if len(s)]
+    stats = (
+        pd.concat(non_empty, ignore_index=True) if non_empty else new_stats
+    )
+
+    # ---- phase 2: key-only global scan ------------------------------------
+    uniq = to_arrow_single(uniqueness_violations(corpus_dir, cfg)).to_pandas()
+    manifest_repos = set(
+        pq.read_table(os.path.join(corpus_dir, "repos.parquet"))["repo"].to_pylist()
+    )
+    ref = referential_violations(stats, manifest_repos).to_pandas()
+
+    # ---- phase 3: gates ----------------------------------------------------
+    gates = to_arrow_single(
+        gate_violations(stats, cfg, global_max_part, manifest_repos)
+    ).to_pandas()
+
+    # ---- assemble ----------------------------------------------------------
+    range_df = pd.concat(
+        [
+            pq.read_table(
+                os.path.join(out_dir, "violations", f"part={p}", "violations.parquet")
+            ).to_pandas()
+            for p in sorted(parts)
+        ],
+        ignore_index=True,
+    )
+    frames = [f for f in (range_df, uniq, ref, gates) if len(f)]
+    violations = (
+        pd.concat(frames, ignore_index=True)[VIOLATION_COLS]
+        if frames
+        else _viol_table({c: [] for c in VIOLATION_COLS}).to_pandas()
+    )
+    gdir = os.path.join(out_dir, "violations", "global")
+    tmp = gdir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    glob_df = pd.concat([f for f in (uniq, ref, gates) if len(f)], ignore_index=True) \
+        if any(len(f) for f in (uniq, ref, gates)) else range_df.iloc[0:0]
+    pq.write_table(pa.Table.from_pandas(glob_df.reset_index(drop=True),
+                                        preserve_index=False)
+                   if len(glob_df) else _viol_table({c: [] for c in VIOLATION_COLS}),
+                   os.path.join(tmp, "violations.parquet"))
+    if os.path.exists(gdir):
+        import shutil
+
+        shutil.rmtree(gdir)
+    os.replace(tmp, gdir)
+
+    # ---- verdicts: one per (part, check) ----------------------------------
+    vio_counts = (
+        violations.groupby(["part", "check"]).size().rename("n_violations").reset_index()
+        if len(violations)
+        else pd.DataFrame(columns=["part", "check", "n_violations"])
+    )
+    rows = []
+    for p in sorted(parts):
+        for check in cfg.checks:
+            nv = vio_counts[
+                (vio_counts["part"] == p) & (vio_counts["check"] == check)
+            ]["n_violations"].sum()
+            rows.append(
+                {
+                    "part": p,
+                    "check": check,
+                    "status": "fail" if nv else "pass",
+                    "n_checked": part_rows.get(p, 0),
+                    "n_violations": int(nv),
+                }
+            )
+    verdicts = pd.DataFrame(rows)
+    pq.write_table(
+        pa.Table.from_pandas(verdicts, preserve_index=False),
+        os.path.join(out_dir, "verdicts.parquet"),
+    )
+    return RunResult(
+        violations=violations.reset_index(drop=True),
+        verdicts=verdicts,
+        parts_scanned=todo,
+        parts_skipped=skipped,
+        out_dir=out_dir,
+    )
