@@ -44,9 +44,13 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_QUERIES
+    from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
+        VALIDATION_QUERIES,
+    )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(ANOMALY_QUERIES)
+    out.update(VALIDATION_QUERIES)
     return out
 
 
@@ -54,7 +58,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Non-SQL-expressible
     ops are intentionally absent (driver records a rows-only check)."""
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_ORACLE
+    from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
+        VALIDATION_ORACLE,
+    )
 
     out: dict[str, str] = {}
     out.update(ANOMALY_ORACLE)
+    out.update(VALIDATION_ORACLE)
     return out

@@ -1,0 +1,175 @@
+"""Validation-check queries over the driver test tables, with DuckDB oracles.
+
+The validation engine's own corpus (datagen) is exercised by the golden tests;
+these queries run the *same check machinery* (uniqueness via pre-aggregated
+group-count, referential via broadcast anti-join, per-column stats via the
+profile stage) over the shared parquet tables so the driver can verify them
+against SQL (SURVEY.md §2.4 J3, §2.5 A6, §2.7 D4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..sources.readers import read_table
+from ..stages.join import broadcast_semi_anti
+from ..stages.reduce import group_count
+from .profile import column_profile_exact_cents
+
+# --------------------------------------------------------------------------
+# uniqueness: duplicate (l_orderkey, l_linenumber) keys in lineitem
+# --------------------------------------------------------------------------
+
+def q_uniqueness_lineitem(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    counts = group_count(ds, ["l_orderkey", "l_linenumber"], out_col="n")
+    return counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+    )
+
+
+SQL_UNIQUENESS_LINEITEM = """
+SELECT l_orderkey, l_linenumber, count(*) AS n
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+"""
+
+
+def q_uniqueness_summary(sf_dir: str):
+    """One row per (table, key): total keys vs duplicated keys — non-empty by
+    construction even on clean tables."""
+    specs = [
+        ("documents", ["doc_id"]),
+        ("events", ["event_id"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ]
+    rows = []
+    for tname, keys in specs:
+        ds = read_table(sf_dir, tname, columns=keys)
+        counts = group_count(ds, keys, out_col="n").to_pandas()
+        rows.append(
+            {
+                "table_name": tname,
+                "n_keys": int(len(counts)),
+                "n_dup_keys": int((counts["n"] > 1).sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_UNIQUENESS_SUMMARY = """
+SELECT 'documents' AS table_name, count(*) AS n_keys,
+       count(*) FILTER (WHERE n > 1) AS n_dup_keys
+FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id)
+UNION ALL
+SELECT 'events', count(*), count(*) FILTER (WHERE n > 1)
+FROM (SELECT event_id, count(*) AS n FROM events GROUP BY event_id)
+UNION ALL
+SELECT 'lineitem', count(*), count(*) FILTER (WHERE n > 1)
+FROM (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber)
+"""
+
+
+# --------------------------------------------------------------------------
+# referential integrity: child → parent key containment (broadcast anti-join)
+# --------------------------------------------------------------------------
+
+_RELATIONS = [
+    # (name, child_table, child_key, parent_table, parent_key)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_referential_orphans(sf_dir: str):
+    """Anti-join each child key column against the broadcast parent key set;
+    report child row count + orphan count per relation (SURVEY.md §2.4 J3)."""
+    rows = []
+    for name, child, ckey, parent, pkey in _RELATIONS:
+        parent_keys = (
+            read_table(sf_dir, parent, columns=[pkey])
+            .to_pandas()
+            .rename(columns={pkey: ckey})
+        )
+        child_ds = read_table(sf_dir, child, columns=[ckey])
+        n_child = child_ds.count()
+        orphans = broadcast_semi_anti(child_ds, parent_keys, on=[ckey], anti=True)
+        rows.append(
+            {
+                "relation": name,
+                "n_child": int(n_child),
+                "n_orphans": int(orphans.count()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_REFERENTIAL_ORPHANS = """
+SELECT 'orders->customer' AS relation, count(*) AS n_child,
+       count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem->orders', count(*),
+       count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+FROM lineitem
+UNION ALL
+SELECT 'supplier->nation', count(*),
+       count(*) FILTER (WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+FROM supplier
+UNION ALL
+SELECT 'nation->region', count(*),
+       count(*) FILTER (WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# per-column stats profile (exact-cents variant for oracle comparability)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_column_profile_lineitem(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem", columns=_PROFILE_COLS)
+    return column_profile_exact_cents(ds, _PROFILE_COLS)
+
+
+def _profile_sql_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column",
+       count({col}) AS n,
+       count(*) - count({col}) AS n_null,
+       floor(sum(CAST(floor({col} * 100 + 0.5) AS BIGINT)) / count({col}) + 0.5) / 100 AS mean,
+       floor(sqrt(greatest(
+           sum(CAST(floor({col} * 100 + 0.5) AS BIGINT) * CAST(floor({col} * 100 + 0.5) AS BIGINT)) / count({col})
+           - (sum(CAST(floor({col} * 100 + 0.5) AS BIGINT)) / count({col}))
+             * (sum(CAST(floor({col} * 100 + 0.5) AS BIGINT)) / count({col})), 0.0)) + 0.5) / 100 AS std_pop,
+       min({col}) AS vmin,
+       max({col}) AS vmax
+FROM lineitem"""
+
+
+SQL_COLUMN_PROFILE_LINEITEM = "\nUNION ALL\n".join(
+    _profile_sql_one(c) for c in _PROFILE_COLS
+)
+
+
+VALIDATION_QUERIES = {
+    "uniqueness_lineitem": q_uniqueness_lineitem,
+    "uniqueness_summary": q_uniqueness_summary,
+    "referential_orphans": q_referential_orphans,
+    "column_profile_lineitem": q_column_profile_lineitem,
+}
+
+VALIDATION_ORACLE = {
+    "uniqueness_lineitem": SQL_UNIQUENESS_LINEITEM,
+    "uniqueness_summary": SQL_UNIQUENESS_SUMMARY,
+    "referential_orphans": SQL_REFERENTIAL_ORPHANS,
+    "column_profile_lineitem": SQL_COLUMN_PROFILE_LINEITEM,
+}
