@@ -44,6 +44,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_QUERIES
+    from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import TEXT_QUERIES
     from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
         VALIDATION_QUERIES,
     )
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(ANOMALY_QUERIES)
     out.update(VALIDATION_QUERIES)
+    out.update(TEXT_QUERIES)
     return out
 
 
@@ -58,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Non-SQL-expressible
     ops are intentionally absent (driver records a rows-only check)."""
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_ORACLE
+    from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import TEXT_ORACLE
     from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
         VALIDATION_ORACLE,
     )
@@ -65,4 +68,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ANOMALY_ORACLE)
     out.update(VALIDATION_ORACLE)
+    out.update(TEXT_ORACLE)
     return out

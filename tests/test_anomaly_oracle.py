@@ -9,13 +9,18 @@ from use_case_real_time_anomaly_detection_ray.pipelines.queries import (
     ANOMALY_ORACLE,
     ANOMALY_QUERIES,
 )
+from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import (
+    TEXT_ORACLE,
+    TEXT_QUERIES,
+)
 from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
     VALIDATION_ORACLE,
     VALIDATION_QUERIES,
 )
 
-ANOMALY_QUERIES = {**ANOMALY_QUERIES, **VALIDATION_QUERIES}
-ANOMALY_ORACLE = {**ANOMALY_ORACLE, **VALIDATION_ORACLE}
+ANOMALY_QUERIES = {**ANOMALY_QUERIES, **VALIDATION_QUERIES,
+                   **{k: TEXT_QUERIES[k] for k in TEXT_ORACLE}}
+ANOMALY_ORACLE = {**ANOMALY_ORACLE, **VALIDATION_ORACLE, **TEXT_ORACLE}
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

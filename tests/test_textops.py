@@ -1,0 +1,152 @@
+"""Text-operator tests: sketch ops vs exact brute-force oracles on synthetic
+corpora with planted near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from use_case_real_time_anomaly_detection_ray.functions import text as T
+from use_case_real_time_anomaly_detection_ray.pipelines import ann, textops
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    """60 random docs + 6 planted near-dup pairs + 2 exact dup pairs."""
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(800)]
+    docs = []
+    for i in range(60):
+        docs.append(" ".join(vocab[j] for j in rng.integers(0, 800, 80)))
+    dup_pairs = []
+    for i in range(6):
+        base = docs[i * 3]
+        w = base.split()
+        for _ in range(4):  # mutate ~5% of words
+            w[rng.integers(0, len(w))] = vocab[rng.integers(0, 800)]
+        docs.append(" ".join(w))
+        dup_pairs.append((i * 3, 60 + i))
+    exact_pairs = [(1, 66), (2, 67)]
+    docs.append(docs[1])
+    docs.append(docs[2])
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    return df, dup_pairs, exact_pairs
+
+
+def _ds(df):
+    return ray.data.from_pandas([df.iloc[:30], df.iloc[30:]])
+
+
+def test_exact_dedup(corpus):
+    df, _dups, exact_pairs = corpus
+    out = textops.exact_dedup(_ds(df)).to_pandas()
+    # one representative per distinct text, min doc_id kept
+    assert len(out) == df["text"].nunique()
+    for a, b in exact_pairs:
+        assert a in set(out["doc_id"]) and b not in set(out["doc_id"])
+
+
+def test_minhash_dedup_finds_planted_pairs(corpus):
+    df, dup_pairs, exact_pairs = corpus
+    out = textops.minhash_dedup(_ds(df), threshold=0.6)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    for a, b in dup_pairs + exact_pairs:
+        assert cl[a] == cl[b], (a, b)
+    # spot-check: two unrelated docs stay apart
+    assert cl[10] != cl[11]
+
+
+def test_minhash_agrees_with_exact_jaccard(corpus):
+    df, _d, _e = corpus
+    pairs = textops.ngram_jaccard_pairs(_ds(df), threshold=0.5)
+    # every reported pair really has jaccard >= 0.5 (exact recomputation)
+    texts = dict(zip(df["doc_id"], df["text"]))
+    for t in pairs.itertuples():
+        j = T.jaccard(T.word_shingles(texts[t.a]), T.word_shingles(texts[t.b]))
+        assert j == t.jaccard and j >= 0.5
+
+
+def test_simhash_dedup_finds_planted_pairs(ray_session):
+    """SimHash banding (4×16 bits) targets hamming ≤3, i.e. ≥99% similarity:
+    plant 1-word mutations of 300-word docs."""
+    rng = np.random.default_rng(6)
+    vocab = [f"tok{i}" for i in range(2000)]
+    docs = [" ".join(vocab[j] for j in rng.integers(0, 2000, 300)) for i in range(30)]
+    dup_pairs = []
+    for i in range(5):
+        w = docs[i * 2].split()
+        w[int(rng.integers(0, len(w)))] = vocab[int(rng.integers(0, 2000))]
+        docs.append(" ".join(w))
+        dup_pairs.append((i * 2, 30 + i))
+    docs.append(docs[7])  # exact dup
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = textops.simhash_dedup(_ds(df), max_hamming=3)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[7] == cl[35]  # exact dup always collapses
+    found = sum(cl[a] == cl[b] for a, b in dup_pairs)
+    assert found >= 3  # 1-word mutations usually land within hamming 3
+
+
+def test_lang_id_on_planted_languages(ray_session):
+    samples = {
+        "en": "the cat sat on the mat and it was fine for all of us to see that",
+        "es": "el gato es un animal que vive en la casa y es muy bonito por las tardes",
+        "fr": "le chat est un animal qui vit dans la maison et il est très beau pour tous",
+        "de": "die katze ist ein tier und das haus ist nicht weit von der stadt mit garten",
+        "zh": "这是一个中文文本的例子非常好我们喜欢它",
+    }
+    df = pd.DataFrame({"doc_id": range(5), "text": list(samples.values())})
+    out = textops.lang_id_table(ray.data.from_pandas(df)).to_pandas()
+    assert out["lang_pred"].tolist() == list(samples.keys())
+
+
+def test_fingerprint_containment(ray_session):
+    shared = "a very long shared passage that should fingerprint identically " * 3
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [shared + " unique tail one", shared + " other ending"]}
+    )
+    a = T.rolling_fingerprints(df["text"][0])
+    b = T.rolling_fingerprints(df["text"][1])
+    overlap = np.intersect1d(a, b).size / min(a.size, b.size)
+    assert overlap > 0.6
+    out = textops.fingerprint_table(ray.data.from_pandas(df)).to_pandas()
+    assert (out["n_fingerprints"] > 0).all()
+
+
+def test_brute_force_topk_vs_numpy(ray_session):
+    rng = np.random.default_rng(9)
+    n, d = 200, 16
+    m = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:70], df.iloc[70:]])
+    got = ann.brute_force_topk(ds, np.array([0, 1]), m[:2], k=5)
+    mm = m.astype("float64")
+    nn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    cos = nn[:2] @ nn.T
+    for qi in range(2):
+        want_ids = np.argsort(-cos[qi], kind="mergesort")[:5]
+        got_ids = got[got["query_id"] == qi]["vec_id"].tolist()
+        assert got_ids == want_ids.tolist()
+
+
+def test_lsh_topk_subset_of_bruteforce(ray_session):
+    rng = np.random.default_rng(10)
+    n, d = 300, 32
+    m = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:100], df.iloc[100:]])
+    out = ann.lsh_bucket_topk(ds, np.array([0]), m[:1], k=5, n_planes=4)
+    # the query vector itself always lands in its own bucket → rank-1 self hit
+    assert len(out) and out.iloc[0]["vec_id"] == 0
+    assert np.isclose(out.iloc[0]["cosine"], 1.0)
+
+
+def test_cosine_near_dup_pairs(ray_session):
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(50, 8))
+    m[10] = m[3] + rng.normal(scale=1e-3, size=8)  # planted near-dup
+    df = pd.DataFrame({"vec_id": range(50), "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:25], df.iloc[25:]])
+    pairs = ann.cosine_near_dup_pairs(ds, threshold=0.999)
+    assert (3, 10) in set(zip(pairs["a"], pairs["b"]))

@@ -1,0 +1,389 @@
+"""Training-data text operators as Ray Data pipelines: exact dedup,
+MinHash-LSH / SimHash / n-gram-Jaccard near-dedup, language ID, quality
+scoring, token counting, document fingerprinting.
+
+Execution shapes (ray_guide 'Aggregation at scale' patterns):
+
+* exact dedup — content-hash column in a vectorized ``map_batches``, then the
+  partial-reduce keep-min-id (same machinery as the reference's
+  ``LIMIT 1 BY`` dedup, ``dedup_log.pipe:6``);
+* MinHash-LSH — per-batch signatures → explode to (band, band_hash, doc) rows
+  → ``groupby(band, band_hash)`` buckets → candidate pairs → exact-Jaccard
+  verify → union-find clustering. The signature stage is an **actor pool**
+  (:class:`MinHashStage` — permutation table built once per actor);
+* the pair-verify step broadcasts the shingle sets of candidate docs only
+  (candidates ≪ corpus); at larger candidate volumes swap in the bucketed
+  join (``stages.join.bucketed_join``) — noted per function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions import text as T
+from ..stages.reduce import latest_by_key
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def with_text_md5(ds: "ray.data.Dataset", text_col: str = "text",
+                  out_col: str = "text_md5") -> "ray.data.Dataset":
+    def add(t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                   for s in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(digests, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Keep the min-id representative per distinct content hash. Returns
+    (id_col, text_md5). Hash-partitioned partial-reduce: one candidate per
+    (hash, block) shuffles, not raw text."""
+    hashed = with_text_md5(ds, text_col).select_columns([id_col, "text_md5"])
+    return latest_by_key(hashed, ["text_md5"], [id_col], descending=[False])
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dedup
+# --------------------------------------------------------------------------
+
+class MinHashStage:
+    """Actor-pool stage: shingle + MinHash signature per row, exploded into
+    (band, band_hash, id) rows for the LSH bucket groupby. The permutation
+    table and band layout are built once per actor (``__init__``)."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int,
+                 shingle_k: int):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.hasher = T.MinHasher(num_perm)
+        self.bands, self.rows_per_band = bands, num_perm // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        shingles = [T.word_shingles(t, self.shingle_k) for t in texts]
+        sigs = self.hasher.signatures(shingles)
+        out_id, out_band, out_hash = [], [], []
+        for i, doc in enumerate(ids):
+            sig = sigs[i]
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_id.append(doc)
+                out_band.append(b)
+                out_hash.append(int.from_bytes(h, "big") >> 1)  # fit int64
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                self.id_col: pa.array(out_id),
+            }
+        )
+
+
+def lsh_candidate_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pd.DataFrame:
+    """(a, b) candidate pairs sharing ≥1 LSH bucket. The bucket groupby is the
+    only shuffle and moves (band, hash, id) triples — never text."""
+    exploded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        ids = sorted(g[id_col].unique().tolist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    df = cand.to_pandas()
+    return df.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def _clusters_from_pairs(ids: list, pairs: pd.DataFrame) -> dict:
+    """Union-find on the (small, verified) pair set — driver-side by design:
+    candidate pairs after verification are ≪ corpus (ray_guide: union-find on
+    the driver only when the candidate set is provably small)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids if i in parent}
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pd.DataFrame:
+    """Full MinHash-LSH dedup: returns (id, cluster_id, keep) for every doc.
+    Verification recomputes exact Jaccard for candidate pairs from a broadcast
+    map of candidate shingle sets (candidates only — not the corpus)."""
+    cand = lsh_candidate_pairs(ds, id_col, text_col, num_perm, bands, shingle_k)
+    ids_ds = ds.select_columns([id_col])
+    all_ids = sorted(ids_ds.to_pandas()[id_col].tolist())
+    if len(cand):
+        cand_ids = set(cand["a"]) | set(cand["b"])
+        # shingle sets for candidate docs only, via a filtered pass
+        id_arr = pa.array(list(cand_ids))
+
+        def shingles_of(t: pa.Table) -> pa.Table:
+            mask = pa.compute.is_in(t[id_col], value_set=id_arr)
+            sub = t.filter(mask)
+            return pa.table(
+                {
+                    id_col: sub[id_col],
+                    "sh": pa.array(
+                        [T.word_shingles(x, shingle_k).tolist()
+                         for x in sub[text_col].to_pylist()],
+                        pa.list_(pa.uint64()),
+                    ),
+                }
+            )
+
+        shing = ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
+        smap = {r[id_col]: np.asarray(r["sh"], dtype=np.uint64)
+                for _, r in shing.iterrows()}
+        jac = np.array(
+            [T.jaccard(smap[a], smap[b]) for a, b in zip(cand["a"], cand["b"])]
+        )
+        verified = cand[jac >= threshold]
+    else:
+        verified = cand
+    cl = _clusters_from_pairs(all_ids, verified)
+    out = pd.DataFrame({id_col: all_ids})
+    out["cluster_id"] = [cl.get(i, i) for i in out[id_col]]
+    out["keep"] = out["cluster_id"] == out[id_col]
+    return out
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dedup
+# --------------------------------------------------------------------------
+
+def simhash_table(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(id, simhash int64) per doc — stateless vectorized stage."""
+
+    def sh(t: pa.Table) -> pa.Table:
+        vals = [np.uint64(T.simhash64(x)).astype(np.int64)
+                for x in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col],
+                         "simhash": pa.array([int(v) for v in vals], pa.int64())})
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+def simhash_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> pd.DataFrame:
+    """Near-dup clusters via SimHash banding: 4 bands of 16 bits — any pair
+    within Hamming distance ≤3 shares at least one band exactly (pigeonhole);
+    verify candidates by true Hamming distance."""
+    tbl = simhash_table(ds, id_col, text_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hs = t["simhash"].to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for i, h in zip(ids, hs):
+            u = np.uint64(h)
+            for b in range(4):
+                out_id.append(i)
+                out_band.append(b)
+                out_key.append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "key": pa.array(out_key, pa.int32()),
+                         id_col: pa.array(out_id)})
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        ids = sorted(g[id_col].unique().tolist())
+        a = [ids[i] for i in range(len(ids)) for _ in range(i + 1, len(ids))]
+        b = [ids[j] for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    cand = (
+        tbl.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+    hmap = dict(zip(tbl.to_pandas()[id_col], tbl.to_pandas()["simhash"]))
+    all_ids = sorted(hmap)
+    if len(cand):
+        hd = np.array([T.hamming64(np.uint64(hmap[a]).item() & (2**64 - 1),
+                                   np.uint64(hmap[b]).item() & (2**64 - 1))
+                       for a, b in zip(cand["a"], cand["b"])])
+        verified = cand[hd <= max_hamming]
+    else:
+        verified = cand
+    cl = _clusters_from_pairs(all_ids, verified)
+    out = pd.DataFrame({id_col: all_ids})
+    out["cluster_id"] = [cl.get(i, i) for i in out[id_col]]
+    out["keep"] = out["cluster_id"] == out[id_col]
+    return out
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """(a, b, jaccard) for pairs with exact word-n-gram Jaccard ≥ threshold,
+    candidate-pruned by MinHash-LSH (the scale path — no O(n²) scan)."""
+    cand = lsh_candidate_pairs(ds, id_col, text_col, shingle_k=shingle_k, **lsh_kwargs)
+    if not len(cand):
+        return pd.DataFrame(columns=["a", "b", "jaccard"])
+    texts = ds.select_columns([id_col, text_col]).to_pandas()
+    smap = {r[id_col]: T.word_shingles(r[text_col], shingle_k)
+            for _, r in texts.iterrows()}
+    jac = np.array([T.jaccard(smap[a], smap[b]) for a, b in zip(cand["a"], cand["b"])])
+    out = cand.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# text analysis: stats / language ID / quality / fingerprints
+# --------------------------------------------------------------------------
+
+def text_stats(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Per-doc token & quality features (oracle-reproducible single divisions)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        feats = [T.quality_features(x) for x in texts]
+        bpe = [T.bpe_ish_count(x) for x in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
+                "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
+                "n_punct": pa.array([f["n_punct"] for f in feats], pa.int64()),
+                "n_stop": pa.array([f["n_stop"] for f in feats], pa.int64()),
+                "n_tokens_bpe": pa.array(bpe, pa.int64()),
+                "stop_ratio": pa.array([f["stop_ratio"] for f in feats], pa.float64()),
+                "punct_ratio": pa.array([f["punct_ratio"] for f in feats], pa.float64()),
+                "mean_word_len": pa.array([f["mean_word_len"] for f in feats], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """Actor-pool language-ID stage (marker tables built once per actor)."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        res = [T.lang_id(x) for x in t[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "lang_pred": pa.array([r[0] for r in res], pa.string()),
+                "lang_score": pa.array([r[1] for r in res], pa.float64()),
+            }
+        )
+
+
+def lang_id_table(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        LangIdStage, fn_constructor_args=(id_col, text_col),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
+def quality_score(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Composite quality score in [0,1]: length band + stopword presence +
+    moderate punctuation (a Gopher-rules-flavored heuristic)."""
+    st = text_stats(ds, id_col, text_col)
+
+    def score(t: pa.Table) -> pa.Table:
+        n_words = t["n_words"].to_numpy()
+        stop = t["stop_ratio"].to_numpy()
+        punct = t["punct_ratio"].to_numpy()
+        mwl = t["mean_word_len"].to_numpy()
+        s = (
+            0.25 * ((n_words >= 10) & (n_words <= 100_000)).astype(float)
+            + 0.25 * ((stop >= 0.01)).astype(float)
+            + 0.25 * (punct <= 0.2).astype(float)
+            + 0.25 * ((mwl >= 2.0) & (mwl <= 12.0)).astype(float)
+        )
+        return pa.table({t.column_names[0]: t[t.column_names[0]],
+                         "quality": pa.array(s, pa.float64())})
+
+    return st.map_batches(score, batch_format="pyarrow")
+
+
+def fingerprint_table(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4,
+) -> "ray.data.Dataset":
+    """(id, n_fingerprints, min_fp, max_fp) via winnowed rolling hashes."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [T.rolling_fingerprints(x, k, window) for x in t[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_fingerprints": pa.array([f.size for f in fps], pa.int64()),
+                "min_fp": pa.array([int(f.min()) if f.size else 0 for f in fps], pa.int64()),
+                "max_fp": pa.array([int(f.max()) if f.size else 0 for f in fps], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

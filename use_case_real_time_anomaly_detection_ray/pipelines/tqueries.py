@@ -1,0 +1,194 @@
+"""Training-data operator queries over ``documents`` / ``embeddings`` with
+DuckDB oracles where SQL can express the semantics; the sketch-based ops
+(MinHash-LSH, SimHash, fingerprints, language ID, LSH-ANN) are exposed as
+rows-only queries (the driver records the weaker check; their correctness is
+pinned by unit tests against exact oracles instead)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.text import STOPWORDS
+from ..sources.readers import read_table
+from . import ann, textops
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+def _docs(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def _embs(sf_dir: str):
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+
+# --------------------------------------------------------------------------
+# exact dedup (oracle)
+# --------------------------------------------------------------------------
+
+def q_doc_exact_dedup(sf_dir: str):
+    return textops.exact_dedup(_docs(sf_dir))
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# text stats + quality (oracle)
+# --------------------------------------------------------------------------
+
+def q_doc_text_stats(sf_dir: str):
+    return textops.text_stats(_docs(sf_dir))
+
+
+SQL_DOC_TEXT_STATS = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(w) AS n_words,
+       n_punct,
+       len(list_filter(w, x -> list_contains({_STOP_SQL}, lower(x)))) AS n_stop,
+       n_tokens_bpe,
+       len(list_filter(w, x -> list_contains({_STOP_SQL}, lower(x)))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE) AS mean_word_len
+FROM f
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    return textops.quality_score(_docs(sf_dir))
+
+
+SQL_DOC_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_filter(w, x -> list_contains({_STOP_SQL}, lower(x)))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+         n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE) AS mean_word_len
+  FROM f
+)
+SELECT doc_id,
+       0.25 * CAST(n_words BETWEEN 10 AND 100000 AS DOUBLE)
+     + 0.25 * CAST(stop_ratio >= 0.01 AS DOUBLE)
+     + 0.25 * CAST(punct_ratio <= 0.2 AS DOUBLE)
+     + 0.25 * CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS DOUBLE) AS quality
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (oracle via list_cosine_similarity)
+# --------------------------------------------------------------------------
+
+_ANN_QUERIES, _ANN_K = 5, 10
+
+
+def q_ann_topk(sf_dir: str):
+    out = ann.embedding_self_topk(_embs(sf_dir), n_queries=_ANN_QUERIES, k=_ANN_K)
+    out = out.copy()
+    # shared half-up rounding at 1e-6 absorbs accumulation-order ulps between
+    # numpy matmul and the SQL engine's sequential dot product
+    out["cosine"] = np.floor(out["cosine"] * 1e6 + 0.5) / 1e6
+    return out
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {_ANN_QUERIES}
+), scored AS (
+  -- DOUBLE[] casts force double accumulation (float32 lists otherwise score
+  -- in float32, off by ~1e-8 from the engine's float64 matmul)
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+FROM ranked WHERE rn <= {_ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# sketch-based ops — rows-only (no SQL equivalent; unit-tested vs exact oracles)
+# --------------------------------------------------------------------------
+
+def q_doc_minhash_dedup(sf_dir: str):
+    return textops.minhash_dedup(_docs(sf_dir), threshold=0.5)
+
+
+def q_doc_simhash_dedup(sf_dir: str):
+    return textops.simhash_dedup(_docs(sf_dir), max_hamming=6)
+
+
+def q_doc_ngram_dup_pairs(sf_dir: str):
+    return textops.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+
+
+def q_doc_lang_id(sf_dir: str):
+    return textops.lang_id_table(_docs(sf_dir))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return textops.fingerprint_table(_docs(sf_dir))
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    emb = _embs(sf_dir)
+    head = emb.sort("vec_id").limit(_ANN_QUERIES).to_pandas()
+    qm = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    return ann.lsh_bucket_topk(emb, head["vec_id"].to_numpy(), qm, k=_ANN_K)
+
+
+def q_emb_near_dup_pairs(sf_dir: str):
+    # test-table embeddings are near-orthogonal (max pairwise cosine ≈0.51);
+    # 0.4 keeps the result non-empty so the rows-only check exercises real rows
+    return ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4)
+
+
+TEXT_QUERIES = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_text_stats": q_doc_text_stats,
+    "doc_quality": q_doc_quality,
+    "ann_topk": q_ann_topk,
+    # rows-only:
+    "doc_minhash_dedup": q_doc_minhash_dedup,
+    "doc_simhash_dedup": q_doc_simhash_dedup,
+    "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+}
+
+TEXT_ORACLE = {
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_text_stats": SQL_DOC_TEXT_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "ann_topk": SQL_ANN_TOPK,
+}
