@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): files/sec validated by the full check suite
+(range, staleness, drift-rate, z-score gate, IQR gate, uniqueness,
+referential) over the synthetic code-repository Parquet corpus, plus per-query
+timings of the anomaly/text/ANN pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the bench twice in fresh processes at num_cpus=8 and 32 on
+the identical corpus and reports both throughputs + scaling efficiency
+(speedup/4); record the result in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import warnings
+
+BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "48"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS_PER_PART", "160000"))
+CORPUS_ROOT = os.environ.get("BENCH_CORPUS_DIR", "/tmp/rtad_bench_corpus")
+
+
+def ensure_corpus() -> str:
+    """Generate (once, cached) the bench-scale code corpus."""
+    from use_case_real_time_anomaly_detection_ray.datagen import CorpusSpec, generate_corpus
+
+    tag = f"p{BENCH_PARTS}_r{BENCH_ROWS}"
+    cdir = os.path.join(CORPUS_ROOT, tag)
+    marker = os.path.join(cdir, "_COMPLETE")
+    if os.path.exists(marker):
+        return cdir
+    shutil.rmtree(cdir, ignore_errors=True)
+    spec = CorpusSpec(
+        n_parts=BENCH_PARTS,
+        rows_per_part=BENCH_ROWS,
+        n_repos=64,
+        n_out_of_range=max(64, BENCH_PARTS * 2),
+        n_duplicates=32,
+        n_dangling=32,
+        base_len_lo=400,
+        base_len_hi=900,
+    )
+    generate_corpus(cdir, spec)
+    open(marker, "w").write("ok")
+    return cdir
+
+
+def warm_page_cache(*paths: str) -> None:
+    for root in paths:
+        if os.path.isfile(root):
+            open(root, "rb").read()
+            continue
+        for dirpath, _d, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    open(os.path.join(dirpath, f), "rb").read()
+
+
+def run_bench() -> dict:
+    warnings.filterwarnings("ignore")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    cdir = ensure_corpus()  # before ray.init: generation is not benched
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from use_case_real_time_anomaly_detection_ray.config import ValidationConfig
+    from use_case_real_time_anomaly_detection_ray.pipelines import validate
+    from use_case_real_time_anomaly_detection_ray.pipelines.queries import (
+        ANOMALY_QUERIES,
+    )
+    from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import TEXT_QUERIES
+    from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
+        VALIDATION_QUERIES,
+    )
+
+    warm_page_cache(cdir, sf_dir)
+    # spawn the full worker pool before timing (cold actor/worker startup is
+    # a per-session cost, not pipeline throughput)
+    ray.data.range(1000, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+    # ---- headline: full validation suite over the code corpus -------------
+    out_dir = f"/tmp/rtad_bench_out_{num_cpus}_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = validate.run(cdir, out_dir, ValidationConfig(), resume=False)
+    t_validate = time.perf_counter() - t0
+    n_files = int(res.verdicts.drop_duplicates("part")["n_checked"].sum())
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- per-query timings over the driver tables --------------------------
+    chosen = {
+        "copy_log": ANOMALY_QUERIES["copy_log"],
+        "z_score": ANOMALY_QUERIES["z_score"],
+        "iqr": ANOMALY_QUERIES["iqr"],
+        "timeout": ANOMALY_QUERIES["timeout"],
+        "rate_of_change": ANOMALY_QUERIES["rate_of_change"],
+        "uniqueness_lineitem": VALIDATION_QUERIES["uniqueness_lineitem"],
+        "column_profile_lineitem": VALIDATION_QUERIES["column_profile_lineitem"],
+        "doc_exact_dedup": TEXT_QUERIES["doc_exact_dedup"],
+        "doc_minhash_dedup": TEXT_QUERIES["doc_minhash_dedup"],
+        "ann_topk": TEXT_QUERIES["ann_topk"],
+    }
+    import pandas as pd
+
+    qtimes: dict[str, float] = {}
+    for name, fn in chosen.items():
+        t0 = time.perf_counter()
+        r = fn(sf_dir)
+        if not isinstance(r, pd.DataFrame):
+            r = r.to_pandas()  # consume the lazy Dataset
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "sec: full validation suite over synthetic code corpus "
+                  f"({BENCH_PARTS} parts x {BENCH_ROWS} rows)",
+        "value": round(t_validate, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / t_validate, 1),
+    }
+
+
+def _cpu_ceiling(n_lo: int, n_hi: int) -> float:
+    """Hardware parallel-scaling ceiling: aggregate sha256 throughput of
+    n_lo vs n_hi plain processes. This box exposes 32 hyperthreads over ~16
+    physical cores, so 8→32 tops out at ~0.62 even for embarrassingly
+    parallel C code — the ceiling contextualizes the engine's number."""
+    import hashlib
+    import multiprocessing as mp
+    import time as _t
+
+    def spin(q):
+        data = b"x" * 65536
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < 3.0:
+            hashlib.sha256(data).digest()
+            n += 1
+        q.put(n)
+
+    agg = {}
+    for n in (n_lo, n_hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=spin, args=(q,)) for _ in range(n)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        agg[n] = sum(q.get() for _ in ps)
+    return agg[n_hi] / agg[n_lo] / (n_hi / n_lo)
+
+
+def run_scaling() -> None:
+    """Same corpus + pipeline at two parallelism levels (N and 4N CPUs) in
+    fresh processes; two repetitions per level, min taken (standard
+    noise-floor practice on a shared box)."""
+    n_lo = int(os.environ.get("SCALE_N", "4"))
+    n_hi = 4 * n_lo
+    reps = int(os.environ.get("SCALE_REPS", "2"))
+    best: dict[int, dict] = {}
+    for ncpu in (n_lo, n_hi):
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if ncpu not in best or r["value"] < best[ncpu]["value"]:
+                best[ncpu] = r
+    t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    ceiling = _cpu_ceiling(n_lo, n_hi)
+    print(json.dumps({
+        "n_lo": n_lo,
+        "n_hi": n_hi,
+        f"sec_{n_lo}": t_lo,
+        f"sec_{n_hi}": t_hi,
+        f"files_per_sec_{n_lo}": best[n_lo]["files_per_sec"],
+        f"files_per_sec_{n_hi}": best[n_hi]["files_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
+        "n_files": best[n_hi]["n_files"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -141,9 +141,13 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
         )
         # rows are ordered; ordinal gives unique path/commit
         ordinal = np.arange(spec.rows_per_part)
-        lang = np.array(
-            [LANGS[rng.choice(len(LANGS), p=lang_w[i])] for i in ridx]
-        )
+        # vectorized per-repo multinomial: inverse-CDF against each row's
+        # repo-specific cumulative lang weights (a per-row rng.choice would be
+        # ~1000x slower at bench scale)
+        cum = np.cumsum(lang_w, axis=1)
+        u = rng.random(spec.rows_per_part)
+        lang_idx = (u[:, None] > cum[ridx]).sum(axis=1)
+        lang = LANGS[np.minimum(lang_idx, len(LANGS) - 1)]
         repo_col = np.array([repos[i] for i in ridx], dtype=object)
         path_col = np.array(
             [f"src/m{int(o) % 37}/f{part}_{int(o)}.{l}" for o, l in zip(ordinal, lang)],

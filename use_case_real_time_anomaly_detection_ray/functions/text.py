@@ -80,17 +80,28 @@ class MinHasher:
         return self.signatures([shingle_hashes])[0]
 
     def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
-        """Batch-vectorized: one (num_perm,) signature per document."""
-        sigs = np.empty((len(shingle_sets), self.num_perm), dtype=np.uint64)
-        for j, sh in enumerate(shingle_sets):
-            if sh.size == 0:
-                sigs[j] = np.iinfo(np.uint64).max
-                continue
-            x = sh.astype(np.uint64)
-            acc = np.empty((self.num_perm, x.size), dtype=np.uint64)
-            for i in range(self.num_perm):
-                acc[i] = _modmul_vec(self.a[i], x, self.b[i])
-            sigs[j] = acc.min(axis=1)
+        """Batch-vectorized: one (num_perm,) signature per document. All
+        documents' shingles are concatenated and hashed in one
+        (num_perm × total) matrix op; per-document minima come from
+        ``np.minimum.reduceat`` at the segment boundaries — no per-document
+        Python loop."""
+        n_docs = len(shingle_sets)
+        sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        sizes = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        nonempty = np.flatnonzero(sizes > 0)
+        if nonempty.size == 0:
+            return sigs
+        flat = np.concatenate([shingle_sets[j] for j in nonempty]).astype(np.uint64)
+        starts = np.r_[0, np.cumsum(sizes[nonempty])[:-1]]
+        m = np.uint64(_M31)
+        # one permutation at a time: the full (num_perm × total) matrix would
+        # be hundreds of MB per batch; per-perm the working set is one flat row
+        mins = np.empty((self.num_perm, nonempty.size), dtype=np.uint64)
+        for i in range(self.num_perm):
+            hashed = (self.a[i] * flat + self.b[i]) % m
+            mins[i] = np.minimum.reduceat(hashed, starts)
+        sigs[nonempty] = mins.T
         return sigs
 
 

@@ -330,20 +330,36 @@ def per_id_quartiles(
     lo = _cutoff(now, stats_window_minutes * 60)
     win = _window_filter(ds, lo, hi)
 
-    def quart(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
-        n = v.size
-        q1 = float(v[scalar.ch_quantile_exact_index(n, 0.25)])
-        q2 = float(v[scalar.ch_quantile_exact_index(n, 0.5)])
-        q3 = float(v[scalar.ch_quantile_exact_index(n, 0.75)])
+    def quartiles_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # sort once by (id, value); group boundaries give each id's sorted
+        # slice — per-id quantile picks are O(1) index lookups, no per-id
+        # Python grouping
+        g = g.sort_values(["id", "value"], kind="mergesort")
+        ids = g["id"].to_numpy()
+        v = g["value"].to_numpy(dtype="float64")
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], ids.size]
+        ns = ends - starts
+        q1 = v[starts + np.minimum((0.25 * ns).astype(np.int64), ns - 1)]
+        q2 = v[starts + np.minimum((0.5 * ns).astype(np.int64), ns - 1)]
+        q3 = v[starts + np.minimum((0.75 * ns).astype(np.int64), ns - 1)]
         iqr_v = (q3 - q1) * iqr_multiplier
         return pd.DataFrame(
-            {"id": [g["id"].iloc[0]], "lower_quartile": [q1], "mid_quartile": [q2],
-             "upper_quartile": [q3], "iqr": [iqr_v],
-             "lower_raw": [q1 - iqr_v], "upper_raw": [q3 + iqr_v]}
+            {"id": ids[starts], "lower_quartile": q1, "mid_quartile": q2,
+             "upper_quartile": q3, "iqr": iqr_v,
+             "lower_raw": q1 - iqr_v, "upper_raw": q3 + iqr_v}
         )
 
-    return win.groupby("id").map_groups(quart, batch_format="pandas").to_pandas()
+    from ..stages.reduce import grouped_agg
+
+    # exact quantiles can't pre-reduce: the 'partial' is a projection and the
+    # bucket merge sees each id's full window (bounded: a stats-window suffix)
+    return grouped_agg(
+        win.select_columns(["id", "value"]),
+        ["id"],
+        lambda df: df,
+        quartiles_of_bucket,
+    ).to_pandas()
 
 
 def iqr(

@@ -29,7 +29,31 @@ import ray
 import ray.data
 
 from ..functions import text as T
-from ..stages.reduce import latest_by_key
+from ..stages.reduce import grouped_agg, latest_by_key
+
+
+def _bucket_pairs(exploded: "ray.data.Dataset", bucket_keys: list[str],
+                  id_col: str) -> pd.DataFrame:
+    """(a, b) candidate pairs of ids sharing an exact LSH bucket, computed per
+    key-hash group (vectorized within the group — one Python call per hash
+    bucket, not per LSH bucket; most LSH buckets are singletons and are
+    filtered out vectorized before any pair loop runs)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(bucket_keys + [id_col])
+        sz = g.groupby(bucket_keys, sort=False)[id_col].transform("size")
+        dup = g[sz > 1].sort_values(bucket_keys + [id_col], kind="mergesort")
+        a_out, b_out = [], []
+        for _, grp in dup.groupby(bucket_keys, sort=False):
+            ids = grp[id_col].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pd.DataFrame({"a": a_out, "b": b_out})
+
+    pairs = grouped_agg(exploded, bucket_keys, lambda df: df, merge)
+    return pairs.to_pandas()
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -113,19 +137,8 @@ def lsh_candidate_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        ids = sorted(g[id_col].unique().tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    df = cand.to_pandas()
-    return df.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    cand = _bucket_pairs(exploded, ["band", "band_hash"], id_col)
+    return cand.drop_duplicates(["a", "b"]).reset_index(drop=True)
 
 
 def _clusters_from_pairs(ids: list, pairs: pd.DataFrame) -> dict:
@@ -241,19 +254,9 @@ def simhash_dedup(
                          "key": pa.array(out_key, pa.int32()),
                          id_col: pa.array(out_id)})
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        ids = sorted(g[id_col].unique().tolist())
-        a = [ids[i] for i in range(len(ids)) for _ in range(i + 1, len(ids))]
-        b = [ids[j] for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    cand = (
-        tbl.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
-    )
+    cand = _bucket_pairs(
+        tbl.map_batches(explode, batch_format="pyarrow"), ["band", "key"], id_col
+    ).drop_duplicates(["a", "b"])
     hmap = dict(zip(tbl.to_pandas()[id_col], tbl.to_pandas()["simhash"]))
     all_ids = sorted(hmap)
     if len(cand):

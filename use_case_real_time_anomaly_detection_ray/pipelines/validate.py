@@ -105,12 +105,23 @@ def discover_parts(corpus_dir: str) -> dict[int, list[str]]:
 def derive_light(batch: pa.Table) -> pa.Table:
     """content → (content_length, sha256), then DROP content. The only stage
     that touches the heavy column; sha256 is the per-row invariant carried to
-    the violation log (BASELINE.json input_hint)."""
-    content = batch["content"]
+    the violation log (BASELINE.json input_hint).
+
+    Hashing reads each row as a zero-copy memoryview slice of the Arrow data
+    buffer (no per-row str materialization / re-encode) — hashlib does the
+    per-row C work."""
+    content = batch["content"].combine_chunks()
+    if isinstance(content, pa.ChunkedArray):
+        content = content.chunk(0) if content.num_chunks else pa.array([], pa.large_string())
     lengths = pc.utf8_length(content).cast(pa.int64())
-    # hashing is inherently per-row C work (hashlib releases the GIL per call)
-    buf = content.to_pylist()
-    digests = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in buf]
+    bin_arr = content.cast(pa.large_binary())
+    offs = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64,
+                         count=len(bin_arr) + 1, offset=bin_arr.offset * 8)
+    data_mv = memoryview(bin_arr.buffers()[2])
+    digests = [
+        hashlib.sha256(data_mv[offs[i]:offs[i + 1]]).hexdigest()
+        for i in range(len(bin_arr))
+    ]
     out = batch.drop_columns(["content"])
     out = out.append_column("content_length", lengths)
     out = out.append_column("sha256", pa.array(digests, pa.string()))
@@ -207,35 +218,62 @@ def uniqueness_violations(
     Column-pruned read (keys only, never content); per-block pre-count, then a
     keyed merge. Violation value = duplicate count."""
     files = [f for frags in discover_parts(corpus_dir).values() for f in frags]
-    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit", "part"])
+    keys = ["repo", "path", "commit"]
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(["repo", "path", "commit"], sort=False).agg(
-            n=("part", "size"), part=("part", "min")
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    # Hash-condense then verify (two cheap passes, no wide-row shuffle):
+    #  1. per block, reduce each key to a 64-bit hash and pre-count → 16-byte
+    #     (hash, n, part) partials instead of ~100-byte string triples;
+    #  2. find hashes with global count > 1 (driver merge below ~50M partial
+    #     rows — np.unique on ints; the bucketed int-key shuffle merge is the
+    #     >50M path, same partials);
+    #  3. a second column-pruned scan filtered by the (tiny) duplicate-hash
+    #     set fetches the actual key strings, and an exact per-key recount
+    #     eliminates 64-bit hash collisions (at 10^12 keys, step 2 would use
+    #     the 128-bit variant; collisions only cost extra verify work, never
+    #     wrong output).
+    ds = ray.data.read_parquet(files, columns=keys + ["part"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # prefilter key: the commit column alone (any duplicate triple implies a
+    # duplicate commit; a duplicate commit with distinct repo/path is a false
+    # positive that the exact verify below discards) — all C++ kernels
+    def commit_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["commit"]).aggregate([("part", "count"), ("part", "min")])
+        return g.rename_columns(["commit", "n", "part"])
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        n = int(g["n"].sum())
-        if n <= 1:
-            return _viol_table({k: [] for k in VIOLATION_COLS})
-        r = g.iloc[0]
-        return _viol_table(
-            {
-                "check": ["uniqueness"],
-                "part": [int(g["part"].min())],
-                "repo": [r["repo"]], "path": [r["path"]], "commit": [r["commit"]],
-                "value": [float(n)],
-                "anomaly_type": ["uniqueness"],
-                "note": [f"count:{n}"],
-            }
-        )
-
-    return partials.groupby(["repo", "path", "commit"]).map_groups(
-        merge, batch_format="pandas"
+    partials = to_arrow_single(
+        ds.map_batches(commit_partial, batch_format="pyarrow", batch_size=65536)
     )
+    agg = partials.group_by(["commit"]).aggregate([("n", "sum"), ("part", "min")])
+    agg = agg.rename_columns(["commit", "n", "part"])
+    dup = agg.filter(pc.greater(agg["n"], 1))
+    if dup.num_rows == 0:
+        return ray.data.from_arrow(_viol_table({c: [] for c in VIOLATION_COLS}))
+
+    dup_commits = dup["commit"].combine_chunks()
+
+    def fetch_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["commit"], value_set=dup_commits))
+
+    cand = to_arrow_single(
+        ds.map_batches(fetch_candidates, batch_format="pyarrow", batch_size=65536)
+    ).to_pandas()
+    exact = cand.groupby(keys, sort=False).agg(
+        n=("part", "size"), part=("part", "min")
+    ).reset_index()
+    bad = exact[exact["n"] > 1]
+    tab = _viol_table(
+        {
+            "check": ["uniqueness"] * len(bad),
+            "part": bad["part"].astype(int).tolist(),
+            "repo": bad["repo"].tolist(),
+            "path": bad["path"].tolist(),
+            "commit": bad["commit"].tolist(),
+            "value": bad["n"].astype(float).tolist(),
+            "anomaly_type": ["uniqueness"] * len(bad),
+            "note": [f"count:{int(n)}" for n in bad["n"]],
+        }
+    )
+    return ray.data.from_arrow(tab)
 
 
 def referential_violations(
@@ -393,6 +431,24 @@ def run(
     phase structure). Idempotent per partition: re-running overwrites
     ``out/violations/part=K/`` atomically and appends a superseding manifest
     record (last record wins)."""
+    import sys
+    import time as _time
+
+    prof = os.environ.get("RTAD_PROFILE") == "1"
+    _marks: list[tuple[str, float]] = [("start", _time.perf_counter())]
+
+    def _mark(label: str) -> None:
+        _marks.append((label, _time.perf_counter()))
+        if prof:
+            print(f"[validate] {label}: {_marks[-1][1] - _marks[-2][1]:.2f}s",
+                  file=sys.stderr, flush=True)
+
+    from .. import checks as check_registry
+
+    unknown = [c for c in cfg.checks if c not in check_registry.REGISTRY]
+    if unknown:
+        raise ValueError(f"unknown checks {unknown}; registered: "
+                         f"{sorted(check_registry.REGISTRY)}")
     os.makedirs(out_dir, exist_ok=True)
     parts = discover_parts(corpus_dir)
     global_max_part = max(parts)
@@ -410,8 +466,11 @@ def run(
         light = ds.map_batches(derive_light, batch_format="pyarrow")
         # materialize once: range violations + moments both consume it
         light = light.materialize()
+        _mark("derive+materialize")
         rv = to_arrow_single(range_violations(light, cfg)).to_pandas()
+        _mark("range_violations")
         new_stats = repo_part_moments(light, cfg)
+        _mark("moments")
         for p in todo:
             pv = rv[rv["part"] == p] if len(rv) else rv
             pdir = os.path.join(out_dir, "violations", f"part={p}")
@@ -435,6 +494,8 @@ def run(
                 metrics={"n_range_violations": int(len(pv))},
             )
 
+    _mark("per-part writes+manifest")
+
     # ---- resume: merge stats snapshots of DONE partitions -----------------
     old_stats = _snapshot_to_stats(done)
     non_empty = [s for s in (old_stats, new_stats) if len(s)]
@@ -444,6 +505,7 @@ def run(
 
     # ---- phase 2: key-only global scan ------------------------------------
     uniq = to_arrow_single(uniqueness_violations(corpus_dir, cfg)).to_pandas()
+    _mark("uniqueness")
     manifest_repos = set(
         pq.read_table(os.path.join(corpus_dir, "repos.parquet"))["repo"].to_pylist()
     )
@@ -453,6 +515,7 @@ def run(
     gates = to_arrow_single(
         gate_violations(stats, cfg, global_max_part, manifest_repos)
     ).to_pandas()
+    _mark("gates")
 
     # ---- assemble ----------------------------------------------------------
     range_df = pd.concat(
@@ -506,6 +569,7 @@ def run(
                     "n_violations": int(nv),
                 }
             )
+    _mark("assemble")
     verdicts = pd.DataFrame(rows)
     pq.write_table(
         pa.Table.from_pandas(verdicts, preserve_index=False),

@@ -3,13 +3,18 @@
 The scale discipline (SURVEY.md §4): never ship raw rows into a ``groupby``
 when a per-block partial can shrink them first. Each helper here runs a
 vectorized partial inside ``map_batches`` (one output row per key per block),
-then a small ``groupby(key)`` merge over the partials — the all-to-all
-exchange moves ``O(keys × blocks)`` rows instead of ``O(rows)``.
+then merges partials grouped by a **hash bucket of the key** — NOT by the key
+itself. ``groupby(key).map_groups`` costs one Python call per distinct key
+(ruinous at 10^5+ keys); ``groupby(bucket)`` costs one call per bucket, and
+the within-bucket merge is a vectorized pandas op. Bucketing by
+``hash(key) % B`` keeps all rows of a key in one group (correct) and spreads
+keys uniformly (skew-safe — a hot key inflates only its own partials, which
+the per-block partial already collapsed).
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 import numpy as np
 import pandas as pd
@@ -17,10 +22,44 @@ import pyarrow as pa
 
 import ray.data
 
+_BUCKET = "__bucket"
+
 
 def _pd_to_arrow(df: pd.DataFrame) -> pa.Table:
     """All stages emit Arrow blocks so unions/iteration never mix block types."""
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _hash_keys(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in keys:
+        h = h * np.uint64(1000003) + pd.util.hash_array(
+            np.asarray(df[c])
+        ).astype(np.uint64)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucketed_merge(
+    partials: "ray.data.Dataset",
+    keys: Sequence[str],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Shuffle partials by key-hash bucket and apply a *vectorized* merge per
+    bucket. ``merge_fn`` sees all partial rows of every key in its bucket."""
+    keys = list(keys)
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df[_BUCKET] = _hash_keys(df, keys, num_buckets)
+        return _pd_to_arrow(df)
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        return _pd_to_arrow(merge_fn(g.drop(columns=[_BUCKET])))
+
+    return bucketed.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
 
 
 def _sort_last_per_key(df: pd.DataFrame, keys: Sequence[str], order: Sequence[str],
@@ -41,19 +80,17 @@ def latest_by_key(
     order: Sequence[str],
     descending: Sequence[bool] | None = None,
     batch_size: int | None = 65536,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """``ORDER BY <order> DESC LIMIT 1 BY <keys>`` — the reference's
     latest-per-sensor idiom (``copy_timeout.pipe:21-22``,
     ``most_recent.pipe:14-15``, ``copy_out_of_range.pipe:46-47``).
 
     Two-phase: per-block partial argmax (≤ one row per key per block) inside
-    ``map_batches``, then a tiny ``groupby(keys).map_groups`` over partials.
-    The shuffle carries only partials, so a full-history scan stays cheap at
-    100 TB as long as the key cardinality is modest (sensor/repo count).
+    ``map_batches``, then a bucket-grouped vectorized merge. The shuffle
+    carries only partials, so a full-history scan stays cheap at 100 TB.
 
-    ``descending=True`` for a column means "prefer the largest value", i.e.
-    the kept row maximizes the order columns in priority order.
-    """
+    ``descending=True`` for a column means "prefer the largest value"."""
     keys = list(keys)
     order = list(order)
     if descending is None:
@@ -65,35 +102,39 @@ def latest_by_key(
         return _pd_to_arrow(df)
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-
-    def merge(g: pd.DataFrame) -> pa.Table:
-        return _pd_to_arrow(_sort_last_per_key(g, keys, order, descending))
-
-    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+    return bucketed_merge(
+        partials, keys,
+        lambda g: _sort_last_per_key(g, keys, order, descending),
+        num_buckets,
+    )
 
 
 def distinct_rows(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
     batch_size: int | None = 65536,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
-    """Exact dedup keeping an arbitrary-but-deterministic first row per key —
-    the reference's ``LIMIT 1 BY timestamp, id, anomaly_type``
-    (``dedup_log.pipe:6``) / ``ReplacingMergeTree`` backstop
-    (``copy_log.datasource:10-12``). Same partial-then-merge shape as
-    :func:`latest_by_key`."""
+    """Exact dedup keeping a deterministic first row per key — the reference's
+    ``LIMIT 1 BY timestamp, id, anomaly_type`` (``dedup_log.pipe:6``) /
+    ``ReplacingMergeTree`` backstop (``copy_log.datasource:10-12``)."""
     keys = list(keys)
 
     def partial(df: pd.DataFrame) -> pa.Table:
         if len(df) > 0:
-            df = df.sort_values(keys, kind="mergesort").drop_duplicates(subset=keys, keep="first")
+            df = df.sort_values(keys, kind="mergesort").drop_duplicates(
+                subset=keys, keep="first"
+            )
         return _pd_to_arrow(df)
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return partials.groupby(keys).map_groups(
-        lambda g: _pd_to_arrow(g.sort_values(list(g.columns), kind="mergesort").head(1)),
-        batch_format="pandas",
-    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(list(g.columns), kind="mergesort").drop_duplicates(
+            subset=keys, keep="first"
+        )
+
+    return bucketed_merge(partials, keys, merge, num_buckets)
 
 
 def group_count(
@@ -101,6 +142,7 @@ def group_count(
     keys: Sequence[str],
     out_col: str = "n",
     batch_size: int | None = 65536,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """``GROUP BY keys → count(*)`` with per-block pre-aggregation; the basis
     of the uniqueness check (SURVEY.md §2.7 D4)."""
@@ -108,17 +150,38 @@ def group_count(
 
     def partial(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
-            return _pd_to_arrow(df.assign(**{out_col: pd.Series(dtype="int64")})[keys + [out_col]])
-        return _pd_to_arrow(df.groupby(keys, sort=False, observed=True).size().reset_index(name=out_col))
+            return _pd_to_arrow(
+                df.assign(**{out_col: pd.Series(dtype="int64")})[keys + [out_col]]
+            )
+        return _pd_to_arrow(
+            df.groupby(keys, sort=False, observed=True).size().reset_index(name=out_col)
+        )
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        head = g.iloc[[0]][keys].reset_index(drop=True)
-        head[out_col] = int(g[out_col].sum())
-        return _pd_to_arrow(head)
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, observed=True)[out_col].sum().reset_index()
 
-    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+    return bucketed_merge(partials, keys, merge, num_buckets)
+
+
+def grouped_agg(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    batch_size: int | None = 65536,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """General partial→bucket-merge aggregation: ``partial_fn`` shrinks each
+    block to per-key partial rows; ``merge_fn`` combines a bucket's partials
+    (vectorized pandas groupby inside)."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        return _pd_to_arrow(partial_fn(df))
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return bucketed_merge(partials, list(keys), merge_fn, num_buckets)
 
 
 def to_arrow_single(ds: "ray.data.Dataset") -> pa.Table:

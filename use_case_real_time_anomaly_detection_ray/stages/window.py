@@ -41,13 +41,27 @@ def lag_shift(
     keys = [key] if isinstance(key, str) else list(key)
     cols = list(cols)
 
-    def shift_group(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(order, kind="mergesort")
+    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per hash bucket of keys: sort by (keys, order),
+        # shift, and null out the first row of each key run (its "previous"
+        # belongs to a different key)
+        g = g.sort_values(keys + [order], kind="mergesort").reset_index(drop=True)
+        first_of_key = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = np.ones(len(g) - 1, dtype=bool)
+            for k in keys:
+                a = g[k].to_numpy()
+                same &= a[1:] == a[:-1]
+            first_of_key[1:] = ~same
         for c in cols:
-            g[prefix + c] = g[c].shift(1)
-        return pa.Table.from_pandas(g, preserve_index=False)
+            shifted = g[c].shift(1)
+            shifted[first_of_key] = None
+            g[prefix + c] = shifted
+        return g
 
-    return ds.groupby(keys).map_groups(shift_group, batch_format="pandas")
+    from .reduce import grouped_agg
+
+    return grouped_agg(ds, keys, lambda df: df, shift_bucket)
 
 
 def top_k_by_key(
@@ -61,10 +75,11 @@ def top_k_by_key(
     throttle (``content/interquartile-range.md:104``, SURVEY.md §2.6 W3)."""
     keys = [key] if isinstance(key, str) else list(key)
 
-    def head_group(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
-            g.sort_values(order, ascending=not descending, kind="mergesort").head(k),
-            preserve_index=False,
-        )
+    def head_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, ascending=not descending, kind="mergesort")
+        return g.groupby(keys, sort=False).head(k)
 
-    return ds.groupby(keys).map_groups(head_group, batch_format="pandas")
+    from .reduce import grouped_agg
+
+    # per-block partial top-k shrinks before the shuffle; bucket merge re-heads
+    return grouped_agg(ds, keys, head_bucket, head_bucket)
