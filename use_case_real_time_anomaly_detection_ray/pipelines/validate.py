@@ -231,17 +231,19 @@ def uniqueness_violations(
     #     eliminates 64-bit hash collisions (at 10^12 keys, step 2 would use
     #     the 128-bit variant; collisions only cost extra verify work, never
     #     wrong output).
-    ds = ray.data.read_parquet(files, columns=keys + ["part"])
-
     # prefilter key: the commit column alone (any duplicate triple implies a
     # duplicate commit; a duplicate commit with distinct repo/path is a false
-    # positive that the exact verify below discards) — all C++ kernels
+    # positive that the exact verify below discards) — all C++ kernels, and
+    # the first pass reads only (commit, part)
+    pre = ray.data.read_parquet(files, columns=["commit", "part"])
+    ds = ray.data.read_parquet(files, columns=keys + ["part"])
+
     def commit_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["commit"]).aggregate([("part", "count"), ("part", "min")])
         return g.rename_columns(["commit", "n", "part"])
 
     partials = to_arrow_single(
-        ds.map_batches(commit_partial, batch_format="pyarrow", batch_size=65536)
+        pre.map_batches(commit_partial, batch_format="pyarrow", batch_size=None)
     )
     agg = partials.group_by(["commit"]).aggregate([("n", "sum"), ("part", "min")])
     agg = agg.rename_columns(["commit", "n", "part"])
@@ -255,7 +257,7 @@ def uniqueness_violations(
         return t.filter(pc.is_in(t["commit"], value_set=dup_commits))
 
     cand = to_arrow_single(
-        ds.map_batches(fetch_candidates, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(fetch_candidates, batch_format="pyarrow", batch_size=None)
     ).to_pandas()
     exact = cand.groupby(keys, sort=False).agg(
         n=("part", "size"), part=("part", "min")
@@ -463,7 +465,8 @@ def run(
     if todo:
         files = [f for p in todo for f in parts[p]]
         ds = ray.data.read_parquet(files)
-        light = ds.map_batches(derive_light, batch_format="pyarrow")
+        light = ds.map_batches(derive_light, batch_format="pyarrow",
+                               batch_size=None)
         # materialize once: range violations + moments both consume it
         light = light.materialize()
         _mark("derive+materialize")

@@ -103,7 +103,7 @@ def read_ndjson_incoming(path: str) -> "ray.data.Dataset":
     """NDJSON ingest of ``{timestamp, id, value}`` reports — the Events-API
     shape the generator posts (``data-generator/anomaly-dataset-live.py:157-164``,
     ``config/sample_report.json:1``)."""
-    ds = ray.data.read_json(path)
+    ds = ray.data.read_json(path, file_extensions=None)  # accept .ndjson too
     return ds.map_batches(cast_contract(INCOMING_DATA_SCHEMA), batch_format="pyarrow")
 
 

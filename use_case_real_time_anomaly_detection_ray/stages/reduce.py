@@ -79,7 +79,7 @@ def latest_by_key(
     keys: Sequence[str],
     order: Sequence[str],
     descending: Sequence[bool] | None = None,
-    batch_size: int | None = 65536,
+    batch_size: int | None = None,
     num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """``ORDER BY <order> DESC LIMIT 1 BY <keys>`` — the reference's
@@ -112,7 +112,7 @@ def latest_by_key(
 def distinct_rows(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
-    batch_size: int | None = 65536,
+    batch_size: int | None = None,
     num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Exact dedup keeping a deterministic first row per key — the reference's
@@ -141,7 +141,7 @@ def group_count(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
     out_col: str = "n",
-    batch_size: int | None = 65536,
+    batch_size: int | None = None,
     num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """``GROUP BY keys → count(*)`` with per-block pre-aggregation; the basis
@@ -170,7 +170,7 @@ def grouped_agg(
     keys: Sequence[str],
     partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
     merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    batch_size: int | None = 65536,
+    batch_size: int | None = None,
     num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """General partial→bucket-merge aggregation: ``partial_fn`` shrinks each
