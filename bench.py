@@ -147,6 +147,85 @@ def run_bench() -> dict:
     }
 
 
+DOCS_CORPUS = os.environ.get("BENCH_DOCS_DIR", "/tmp/rtad_bench_docs")
+DOCS_N = int(os.environ.get("BENCH_DOCS_N", "60000"))
+
+
+def ensure_docs() -> str:
+    """Synthetic document corpus for the compute-bound scaling pipeline."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(DOCS_CORPUS, f"n{DOCS_N}")
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    rng = np.random.default_rng(123)
+    vocab = np.array([f"tok{i}" for i in range(20000)])
+    texts = []
+    for i in range(DOCS_N):
+        n = int(rng.integers(80, 160))
+        texts.append(" ".join(vocab[rng.integers(0, 20000, n)]))
+        if i % 10 == 7:  # plant near-duplicates
+            w = texts[-1].split()
+            w[int(rng.integers(0, len(w)))] = str(vocab[int(rng.integers(0, 20000))])
+            texts.append(" ".join(w))
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    for i in range(16):  # 16 files → parallel read
+        pq.write_table(tab.slice(i * len(texts) // 16,
+                                 (i + 1) * len(texts) // 16 - i * len(texts) // 16),
+                       os.path.join(d, f"docs_{i}.parquet"))
+    open(marker, "w").write("ok")
+    return d
+
+
+def run_bench_compute() -> dict:
+    """Compute-bound scaling pipeline: MinHash-LSH dedup over the synthetic
+    document corpus (shingling + 64-permutation hashing per doc — CPU-dense
+    and cache-resident, so it tracks the core count rather than the memory
+    subsystem)."""
+    warnings.filterwarnings("ignore")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    d = ensure_docs()
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from use_case_real_time_anomaly_detection_ray.pipelines import textops
+
+    warm_page_cache(d)
+    ray.data.range(1000, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+    ds = ray.data.read_parquet(
+        [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    )
+    n_docs = ds.count()
+    t0 = time.perf_counter()
+    out = textops.minhash_dedup(ds, threshold=0.7)
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": f"sec: MinHash-LSH dedup over {n_docs} docs",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_dups": int((~out["keep"]).sum()),
+    }
+
+
 def _cpu_ceiling(n_lo: int, n_hi: int) -> float:
     """Hardware parallel-scaling ceiling: aggregate sha256 throughput of
     n_lo vs n_hi plain processes. This box exposes 32 hyperthreads over ~16
@@ -182,38 +261,59 @@ def run_scaling() -> None:
     n_lo = int(os.environ.get("SCALE_N", "4"))
     n_hi = 4 * n_lo
     reps = int(os.environ.get("SCALE_REPS", "2"))
+    compute = "--compute" in sys.argv
+    extra = ["--bench-compute"] if compute else []
+
+    def steal_jiffies() -> int:
+        return int(open("/proc/stat").readline().split()[8])
+
     best: dict[int, dict] = {}
     for ncpu in (n_lo, n_hi):
-        for _ in range(reps):
+        clean_runs = 0
+        attempts = 0
+        # the host hypervisor steals CPU in bursts; a stolen run measures the
+        # neighbor's load, not this engine — retry until `reps` clean runs
+        # (steal < 5% of the run's CPU budget) or the attempt cap
+        while clean_runs < reps and attempts < reps + 4:
+            attempts += 1
+            s0 = steal_jiffies()
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                [sys.executable, os.path.abspath(__file__)] + extra,
                 env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            stolen = (steal_jiffies() - s0) / 100.0
+            r["steal_core_s"] = round(stolen, 1)
+            contaminated = stolen > 0.05 * ncpu * r["value"]
+            if not contaminated:
+                clean_runs += 1
             if ncpu not in best or r["value"] < best[ncpu]["value"]:
                 best[ncpu] = r
     t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
     eff = (t_lo / t_hi) / (n_hi / n_lo)
     ceiling = _cpu_ceiling(n_lo, n_hi)
+    rate_key = "docs_per_sec" if compute else "files_per_sec"
     print(json.dumps({
+        "pipeline": "minhash_dedup" if compute else "validation_suite",
         "n_lo": n_lo,
         "n_hi": n_hi,
         f"sec_{n_lo}": t_lo,
         f"sec_{n_hi}": t_hi,
-        f"files_per_sec_{n_lo}": best[n_lo]["files_per_sec"],
-        f"files_per_sec_{n_hi}": best[n_hi]["files_per_sec"],
+        f"{rate_key}_{n_lo}": best[n_lo][rate_key],
+        f"{rate_key}_{n_hi}": best[n_hi][rate_key],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "hardware_ceiling_efficiency": round(ceiling, 3),
         "efficiency_vs_ceiling": round(eff / ceiling, 3),
-        "n_files": best[n_hi]["n_files"],
     }))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--bench-compute" in sys.argv:
+        print(json.dumps(run_bench_compute()))
     else:
         print(json.dumps(run_bench()))

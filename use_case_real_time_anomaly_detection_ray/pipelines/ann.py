@@ -84,7 +84,7 @@ def brute_force_topk(
         BruteForceScorer,
         fn_constructor_args=(qref, id_col, emb_col, k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, 64),
     ).to_pandas()
     out = (
         partials.sort_values(["query_id", "cosine", "vec_id"],
@@ -150,7 +150,7 @@ def lsh_bucket_topk(
             tt = t.append_column("bucket", pa.array(sig.astype("int64")))
             return tt.filter(pa.compute.is_in(tt["bucket"], value_set=wanted))
 
-    filtered = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 8))
+    filtered = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 64))
     qbuck: dict[int, list[int]] = {}
     for qi, s in enumerate(qsig):
         qbuck.setdefault(int(s), []).append(qi)
@@ -210,5 +210,5 @@ def cosine_near_dup_pairs(
                              "b": pa.array(rows_b, pa.int64()),
                              "cosine": pa.array(rows_c, pa.float64())})
 
-    pairs = ds.map_batches(PairScorer, batch_format="pyarrow", concurrency=(1, 8))
+    pairs = ds.map_batches(PairScorer, batch_format="pyarrow", concurrency=(1, 64))
     return pairs.to_pandas().drop_duplicates(["a", "b"]).reset_index(drop=True)

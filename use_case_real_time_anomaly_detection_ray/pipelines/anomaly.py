@@ -399,16 +399,30 @@ def copy_log_duplicates(
     ds: "ray.data.Dataset",
     params: DetectorParams,
     now: NowLike,
+    shared_scan: bool = True,
 ) -> "ray.data.Dataset":
     """One scheduled tick of all five copy pipes unioned into the common log
     schema (``content/copies-pipes.md:25-46``). Contains designed duplicates
-    across overlapping runs (quirk Q6) — deduplicate with :func:`dedup_log`."""
+    across overlapping runs (quirk Q6) — deduplicate with :func:`dedup_log`.
+
+    With ``shared_scan`` (default), the stats-window suffix — the superset
+    every window-bounded detector needs — is filtered once and **materialized**
+    (it is small relative to history: minutes vs. months), so four detectors
+    share one scan instead of re-reading the source each. The timeout detector
+    keeps its own full-history scan (latest-per-key needs all of it, and its
+    partial-argmax reduction makes that cheap)."""
+    if shared_scan:
+        lo = _cutoff(now, max(params.stats_window_minutes * 60,
+                              params.detect_window_seconds))
+        win = _window_filter(ds, lo).materialize()
+    else:
+        win = ds
     parts = [
-        out_of_range(ds, params, now, latest_only=True),
+        out_of_range(win, params, now, latest_only=True),
         timeout(ds, params, now),
-        rate_of_change(ds, params, now),
-        z_score(ds, params, now),
-        iqr(ds, params, now),
+        rate_of_change(win, params, now),
+        z_score(win, params, now),
+        iqr(win, params, now),
     ]
     out = parts[0]
     for p in parts[1:]:

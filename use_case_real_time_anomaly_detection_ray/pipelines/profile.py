@@ -81,7 +81,7 @@ def column_profile(
     ds: "ray.data.Dataset",
     columns: Sequence[str],
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
-    concurrency=(1, 8),
+    concurrency=(1, 64),
     batch_size: int | None = 65536,
 ) -> pd.DataFrame:
     """Distributed per-column profile: n / nulls / null_rate / mean /

@@ -9,8 +9,8 @@ Execution shapes (ray_guide 'Aggregation at scale' patterns):
   ``LIMIT 1 BY`` dedup, ``dedup_log.pipe:6``);
 * MinHash-LSH — per-batch signatures → explode to (band, band_hash, doc) rows
   → ``groupby(band, band_hash)`` buckets → candidate pairs → exact-Jaccard
-  verify → union-find clustering. The signature stage is an **actor pool**
-  (:class:`MinHashStage` — permutation table built once per actor);
+  verify → union-find clustering. The signature stage runs as stateless tasks
+  with a per-process permutation-table cache (:func:`minhash_explode`);
 * the pair-verify step broadcasts the shingle sets of candidate docs only
   (candidates ≪ corpus); at larger candidate volumes swap in the bucketed
   join (``stages.join.bucketed_join``) — noted per function.
@@ -85,40 +85,46 @@ def exact_dedup(
 # MinHash-LSH near-dedup
 # --------------------------------------------------------------------------
 
-class MinHashStage:
-    """Actor-pool stage: shingle + MinHash signature per row, exploded into
-    (band, band_hash, id) rows for the LSH bucket groupby. The permutation
-    table and band layout are built once per actor (``__init__``)."""
+#: per-worker-process cache of MinHasher permutation tables. MinHash state is
+#: cheap to build, so the stage runs as stateless TASKS (instant elasticity —
+#: an autoscaling actor pool starting at 1 actor never catches up on a
+#: seconds-long stage); the cache still amortizes construction per process.
+_HASHERS: dict[int, "T.MinHasher"] = {}
 
-    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int,
-                 shingle_k: int):
-        assert num_perm % bands == 0
-        self.id_col, self.text_col = id_col, text_col
-        self.hasher = T.MinHasher(num_perm)
-        self.bands, self.rows_per_band = bands, num_perm // bands
-        self.shingle_k = shingle_k
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        shingles = [T.word_shingles(t, self.shingle_k) for t in texts]
-        sigs = self.hasher.signatures(shingles)
-        out_id, out_band, out_hash = [], [], []
-        for i, doc in enumerate(ids):
-            sig = sigs[i]
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_id.append(doc)
-                out_band.append(b)
-                out_hash.append(int.from_bytes(h, "big") >> 1)  # fit int64
-        return pa.table(
-            {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                self.id_col: pa.array(out_id),
-            }
-        )
+def _hasher(num_perm: int) -> "T.MinHasher":
+    if num_perm not in _HASHERS:
+        _HASHERS[num_perm] = T.MinHasher(num_perm)
+    return _HASHERS[num_perm]
+
+
+def minhash_explode(batch: pa.Table, id_col: str, text_col: str, num_perm: int,
+                    bands: int, shingle_k: int) -> pa.Table:
+    """Shingle + MinHash signature per row, exploded into (band, band_hash,
+    id) rows for the LSH bucket groupby."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    hasher = _hasher(num_perm)
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    shingles = [T.word_shingles(t, shingle_k) for t in texts]
+    sigs = hasher.signatures(shingles)
+    out_id, out_band, out_hash = [], [], []
+    for i, doc in enumerate(ids):
+        sig = sigs[i]
+        for b in range(bands):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            out_id.append(doc)
+            out_band.append(b)
+            out_hash.append(int.from_bytes(h, "big") >> 1)  # fit int64
+    return pa.table(
+        {
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            id_col: pa.array(out_id),
+        }
+    )
 
 
 def lsh_candidate_pairs(
@@ -131,11 +137,12 @@ def lsh_candidate_pairs(
 ) -> pd.DataFrame:
     """(a, b) candidate pairs sharing ≥1 LSH bucket. The bucket groupby is the
     only shuffle and moves (band, hash, id) triples — never text."""
+    import functools
+
     exploded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
+        functools.partial(minhash_explode, id_col=id_col, text_col=text_col,
+                          num_perm=num_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     cand = _bucket_pairs(exploded, ["band", "band_hash"], id_col)
     return cand.drop_duplicates(["a", "b"]).reset_index(drop=True)
@@ -324,28 +331,21 @@ def text_stats(
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-class LangIdStage:
-    """Actor-pool language-ID stage (marker tables built once per actor)."""
+def lang_id_table(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Language-ID stage — stateless tasks (the marker tables are module
+    constants, nothing to amortize)."""
 
-    def __init__(self, id_col: str, text_col: str):
-        self.id_col, self.text_col = id_col, text_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        res = [T.lang_id(x) for x in t[self.text_col].to_pylist()]
+    def lang(t: pa.Table) -> pa.Table:
+        res = [T.lang_id(x) for x in t[text_col].to_pylist()]
         return pa.table(
             {
-                self.id_col: t[self.id_col],
+                id_col: t[id_col],
                 "lang_pred": pa.array([r[0] for r in res], pa.string()),
                 "lang_score": pa.array([r[1] for r in res], pa.float64()),
             }
         )
 
-
-def lang_id_table(ds, id_col: str = "doc_id", text_col: str = "text"):
-    return ds.map_batches(
-        LangIdStage, fn_constructor_args=(id_col, text_col),
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    return ds.map_batches(lang, batch_format="pyarrow")
 
 
 def quality_score(

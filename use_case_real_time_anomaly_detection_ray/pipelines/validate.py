@@ -464,7 +464,10 @@ def run(
     part_rows: dict[int, int] = {p: r.get("n_rows", 0) for p, r in done.items()}
     if todo:
         files = [f for p in todo for f in parts[p]]
-        ds = ray.data.read_parquet(files)
+        # one block per input file → the read op fuses with derive, so the
+        # heavy content bytes never enter the object store; only the light
+        # projection (~2% of bytes) is materialized
+        ds = ray.data.read_parquet(files, override_num_blocks=len(files))
         light = ds.map_batches(derive_light, batch_format="pyarrow",
                                batch_size=None)
         # materialize once: range violations + moments both consume it

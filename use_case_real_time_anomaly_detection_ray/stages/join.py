@@ -23,26 +23,26 @@ import ray
 import ray.data
 
 
-class BroadcastStats:
-    """A driver-built small table, shipped once via ``ray.put`` and joined
-    against every batch with a vectorized pandas merge.
+#: per-process cache of fetched broadcast objects (a local-plasma ray.get is
+#: near-free, but caching also skips deserialization of pandas payloads)
+_BCAST_CACHE: dict = {}
 
-    Used as ``ds.map_batches(BroadcastStats.joiner(ref, on, how), ...)`` —
-    each Ray worker deserializes the table once per process (zero-copy from
-    the local object store), not once per batch.
-    """
 
-    def __init__(self, ref: "ray.ObjectRef", on: Sequence[str], how: str = "inner"):
-        self.small: pd.DataFrame = ray.get(ref)
-        self.on = list(on)
-        self.how = how
+def _fetch(ref):
+    if ref not in _BCAST_CACHE:
+        _BCAST_CACHE[ref] = ray.get(ref)
+    return _BCAST_CACHE[ref]
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        if len(batch) > 0:
-            batch = batch.merge(self.small, on=self.on, how=self.how, sort=False)
-        else:
-            batch = batch.merge(self.small.iloc[0:0], on=self.on, how="left", sort=False)
-        return pa.Table.from_pandas(batch, preserve_index=False)
+
+def _broadcast_merge(batch: pd.DataFrame, ref, on: list[str], how: str) -> pa.Table:
+    """Join one batch against the broadcast small table (stateless task —
+    instant elasticity; the table is fetched once per worker process)."""
+    small: pd.DataFrame = _fetch(ref)
+    if len(batch) > 0:
+        batch = batch.merge(small, on=on, how=how, sort=False)
+    else:
+        batch = batch.merge(small.iloc[0:0], on=on, how="left", sort=False)
+    return pa.Table.from_pandas(batch, preserve_index=False)
 
 
 def broadcast(df: pd.DataFrame) -> "ray.ObjectRef":
@@ -59,32 +59,28 @@ def broadcast_join(
     batch_size: int | None = 65536,
     **map_kwargs,
 ) -> "ray.data.Dataset":
+    import functools
+
     ref = broadcast(small)
+    map_kwargs.pop("concurrency", None)
     return ds.map_batches(
-        BroadcastStats,
-        fn_constructor_args=(ref, list(on), how),
+        functools.partial(_broadcast_merge, ref=ref, on=list(on), how=how),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=map_kwargs.pop("concurrency", (1, 8)),
         **map_kwargs,
     )
 
 
-class _SemiAnti:
-    def __init__(self, ref, on, anti):
-        keys: pd.DataFrame = ray.get(ref)
-        self.on = list(on)
-        self.anti = anti
-        self.index = pd.MultiIndex.from_frame(keys[self.on]) if len(self.on) > 1 \
-            else pd.Index(keys[self.on[0]])
-
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        if len(batch) > 0:
-            probe = (pd.MultiIndex.from_frame(batch[self.on]) if len(self.on) > 1
-                     else pd.Index(batch[self.on[0]]))
-            mask = probe.isin(self.index)
-            batch = batch[~mask] if self.anti else batch[mask]
-        return pa.Table.from_pandas(batch, preserve_index=False)
+def _semi_anti_filter(batch: pd.DataFrame, ref, on: list[str], anti: bool) -> pa.Table:
+    keys: pd.DataFrame = _fetch(ref)
+    if len(batch) > 0:
+        index = (pd.MultiIndex.from_frame(keys[on]) if len(on) > 1
+                 else pd.Index(keys[on[0]]))
+        probe = (pd.MultiIndex.from_frame(batch[on]) if len(on) > 1
+                 else pd.Index(batch[on[0]]))
+        mask = probe.isin(index)
+        batch = batch[~mask] if anti else batch[mask]
+    return pa.Table.from_pandas(batch, preserve_index=False)
 
 
 def broadcast_semi_anti(
@@ -97,13 +93,13 @@ def broadcast_semi_anti(
     """Semi (``anti=False``) / anti (``anti=True``) join against a broadcast
     key set — the referential-integrity check's core (SURVEY.md §2.4 J3):
     violations are the anti-join of child keys vs the parent key set."""
+    import functools
+
     ref = broadcast(keys)
     return ds.map_batches(
-        _SemiAnti,
-        fn_constructor_args=(ref, list(on), anti),
+        functools.partial(_semi_anti_filter, ref=ref, on=list(on), anti=anti),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
 
 

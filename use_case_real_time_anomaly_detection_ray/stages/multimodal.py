@@ -163,7 +163,7 @@ class FrameSampleStage:
 
 def decode_features(
     ds: "ray.data.Dataset",
-    concurrency=(1, 4),
+    concurrency=(1, 64),
     batch_size: int = 64,  # small: payload rows are fat
 ) -> "ray.data.Dataset":
     return ds.map_batches(
@@ -175,7 +175,7 @@ def decode_features(
 def resize_features(
     ds: "ray.data.Dataset",
     target: int = 16,
-    concurrency=(1, 4),
+    concurrency=(1, 64),
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
@@ -187,5 +187,5 @@ def resize_features(
 def sample_frames(ds: "ray.data.Dataset", every_k: int = 2) -> "ray.data.Dataset":
     return ds.map_batches(
         FrameSampleStage, fn_constructor_args=(every_k,), batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=256,
+        concurrency=(1, 64), batch_size=256,
     )
