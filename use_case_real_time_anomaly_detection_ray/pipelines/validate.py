@@ -102,6 +102,23 @@ def discover_parts(corpus_dir: str) -> dict[int, list[str]]:
 # Phase 1 — per-partition content pass: derive + range violations + moments
 # ---------------------------------------------------------------------------
 
+_ALLOC_TUNED = False
+
+
+def _tune_allocator() -> None:
+    """Once per worker process: keep jemalloc dirty pages warm for 60 s so
+    consecutive decode tasks reuse faulted-in pages instead of re-faulting
+    fresh zero pages (the guest kernel serializes page-fault zeroing enough
+    that 16 concurrent decoders triple their system time otherwise)."""
+    global _ALLOC_TUNED
+    if not _ALLOC_TUNED:
+        try:
+            pa.jemalloc_set_decay_ms(60_000)
+        except Exception:
+            pass  # non-jemalloc pool — nothing to tune
+        _ALLOC_TUNED = True
+
+
 def derive_light(batch: pa.Table) -> pa.Table:
     """content → (content_length, sha256), then DROP content. The only stage
     that touches the heavy column; sha256 is the per-row invariant carried to
@@ -110,6 +127,7 @@ def derive_light(batch: pa.Table) -> pa.Table:
     Hashing reads each row as a zero-copy memoryview slice of the Arrow data
     buffer (no per-row str materialization / re-encode) — hashlib does the
     per-row C work."""
+    _tune_allocator()
     content = batch["content"].combine_chunks()
     if isinstance(content, pa.ChunkedArray):
         content = content.chunk(0) if content.num_chunks else pa.array([], pa.large_string())
@@ -231,12 +249,21 @@ def uniqueness_violations(
     #     eliminates 64-bit hash collisions (at 10^12 keys, step 2 would use
     #     the 128-bit variant; collisions only cost extra verify work, never
     #     wrong output).
-    # prefilter key: the commit column alone (any duplicate triple implies a
-    # duplicate commit; a duplicate commit with distinct repo/path is a false
-    # positive that the exact verify below discards) — all C++ kernels, and
-    # the first pass reads only (commit, part)
     pre = ray.data.read_parquet(files, columns=["commit", "part"])
     ds = ray.data.read_parquet(files, columns=keys + ["part"])
+    return _uniqueness_from_datasets(pre, ds)
+
+
+def _uniqueness_from_datasets(
+    pre: "ray.data.Dataset", ds: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Core of the uniqueness check over pre-built datasets.
+
+    Prefilter key: the commit column alone (any duplicate triple implies a
+    duplicate commit; a duplicate commit with distinct repo/path is a false
+    positive that the exact verify below discards) — all C++ kernels, and
+    the first pass reads only (commit, part)."""
+    keys = ["repo", "path", "commit"]
 
     def commit_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["commit"]).aggregate([("part", "count"), ("part", "min")])
@@ -459,6 +486,34 @@ def run(
     todo = sorted(p for p in parts if p not in done)
     skipped = sorted(p for p in parts if p in done)
 
+    # ---- phase 2 kicked off FIRST, concurrently: the key-only scan reads
+    # different columns than the content pass and has no dependency on it, so
+    # it overlaps phase 1 in a background thread (two independent streaming
+    # executions share the cluster; ~the whole key-scan latency is hidden)
+    import threading
+
+    # dataset CONSTRUCTION happens on the main thread (read_parquet's lazy
+    # fsspec imports are not thread-safe on first touch); only execution runs
+    # in the background thread
+    uniq_files = [f for frags in parts.values() for f in frags]
+    uniq_pre = ray.data.read_parquet(uniq_files, columns=["commit", "part"])
+    uniq_keys_ds = ray.data.read_parquet(
+        uniq_files, columns=["repo", "path", "commit", "part"]
+    )
+
+    uniq_result: dict[str, Any] = {}
+
+    def _run_uniqueness() -> None:
+        try:
+            uniq_result["table"] = to_arrow_single(
+                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds)
+            ).to_pandas()
+        except Exception as e:  # surfaced at join time
+            uniq_result["error"] = e
+
+    uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
+    uniq_thread.start()
+
     # ---- phase 1: content pass over TODO partitions ----------------------
     new_stats = pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"])
     part_rows: dict[int, int] = {p: r.get("n_rows", 0) for p, r in done.items()}
@@ -473,10 +528,24 @@ def run(
         # materialize once: range violations + moments both consume it
         light = light.materialize()
         _mark("derive+materialize")
-        rv = to_arrow_single(range_violations(light, cfg)).to_pandas()
-        _mark("range_violations")
+        # range violations and moments are independent consumers of the
+        # materialized light table — overlap them in threads
+        rv_box: dict[str, Any] = {}
+
+        def _run_range() -> None:
+            try:
+                rv_box["t"] = to_arrow_single(range_violations(light, cfg)).to_pandas()
+            except Exception as e:
+                rv_box["e"] = e
+
+        rv_thread = threading.Thread(target=_run_range, daemon=True)
+        rv_thread.start()
         new_stats = repo_part_moments(light, cfg)
-        _mark("moments")
+        rv_thread.join()
+        if "e" in rv_box:
+            raise rv_box["e"]
+        rv = rv_box["t"]
+        _mark("range+moments")
         for p in todo:
             pv = rv[rv["part"] == p] if len(rv) else rv
             pdir = os.path.join(out_dir, "violations", f"part={p}")
@@ -509,8 +578,11 @@ def run(
         pd.concat(non_empty, ignore_index=True) if non_empty else new_stats
     )
 
-    # ---- phase 2: key-only global scan ------------------------------------
-    uniq = to_arrow_single(uniqueness_violations(corpus_dir, cfg)).to_pandas()
+    # ---- phase 2: join the concurrent key-only scan -----------------------
+    uniq_thread.join()
+    if "error" in uniq_result:
+        raise uniq_result["error"]
+    uniq = uniq_result["table"]
     _mark("uniqueness")
     manifest_repos = set(
         pq.read_table(os.path.join(corpus_dir, "repos.parquet"))["repo"].to_pylist()
@@ -560,23 +632,15 @@ def run(
         if len(violations)
         else pd.DataFrame(columns=["part", "check", "n_violations"])
     )
-    rows = []
-    for p in sorted(parts):
-        for check in cfg.checks:
-            nv = vio_counts[
-                (vio_counts["part"] == p) & (vio_counts["check"] == check)
-            ]["n_violations"].sum()
-            rows.append(
-                {
-                    "part": p,
-                    "check": check,
-                    "status": "fail" if nv else "pass",
-                    "n_checked": part_rows.get(p, 0),
-                    "n_violations": int(nv),
-                }
-            )
+    grid = pd.MultiIndex.from_product(
+        [sorted(parts), list(cfg.checks)], names=["part", "check"]
+    ).to_frame(index=False)
+    verdicts = grid.merge(vio_counts, on=["part", "check"], how="left")
+    verdicts["n_violations"] = verdicts["n_violations"].fillna(0).astype("int64")
+    verdicts["status"] = np.where(verdicts["n_violations"] > 0, "fail", "pass")
+    verdicts["n_checked"] = verdicts["part"].map(lambda p: part_rows.get(p, 0)).astype("int64")
+    verdicts = verdicts[["part", "check", "status", "n_checked", "n_violations"]]
     _mark("assemble")
-    verdicts = pd.DataFrame(rows)
     pq.write_table(
         pa.Table.from_pandas(verdicts, preserve_index=False),
         os.path.join(out_dir, "verdicts.parquet"),

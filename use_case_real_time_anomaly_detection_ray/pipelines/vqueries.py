@@ -160,7 +160,62 @@ SQL_COLUMN_PROFILE_LINEITEM = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape): the canonical pre-aggregate → tiny-groupby
+# pattern over lineitem
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Per (returnflag, linestatus): counts and sums — partial sums per block
+    inside ``map_batches``, merged over ~6 groups (the wide shuffle collapses
+    to a handful of partial rows per block)."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    ds = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            _disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("_disc_price", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc_price=("sum_disc_price", "sum"),
+        n=("n", "sum"),
+    ).reset_index()
+    out = agg.copy()
+    # half-up 2-decimal rounding shared with the oracle (sum order may differ
+    # in the last ulp; quantities are integral so sum_qty is already exact)
+    for c in ("sum_base_price", "sum_disc_price"):
+        out[c] = np.floor(out[c] * 100.0 + 0.5) / 100.0
+    out["avg_qty"] = np.floor(out["sum_qty"] / out["n"] * 100.0 + 0.5) / 100.0
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "n"]]
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor(sum(l_quantity) / count(*) * 100 + 0.5) / 100 AS avg_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 VALIDATION_QUERIES = {
+    "pricing_summary": q_pricing_summary,
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "uniqueness_summary": q_uniqueness_summary,
     "referential_orphans": q_referential_orphans,
@@ -168,6 +223,7 @@ VALIDATION_QUERIES = {
 }
 
 VALIDATION_ORACLE = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
     "uniqueness_lineitem": SQL_UNIQUENESS_LINEITEM,
     "uniqueness_summary": SQL_UNIQUENESS_SUMMARY,
     "referential_orphans": SQL_REFERENTIAL_ORPHANS,
