@@ -354,7 +354,39 @@ SELECT anomaly_type, count(*) AS n FROM log GROUP BY anomaly_type
 """
 
 
+def q_top_values_per_sensor(sf_dir: str):
+    """Per-sensor top-3 values (``LIMIT n BY id`` throttle, SURVEY.md §2.6 W3),
+    tiebroken by newest timestamp."""
+    from ..stages.window import top_k_by_key
+
+    return top_k_by_key(_events(sf_dir), "id", ["value", "timestamp"], k=3)
+
+
+SQL_TOP_VALUES_PER_SENSOR = """
+SELECT id, timestamp, value FROM (
+  SELECT user_id AS id, ts AS timestamp, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, ts DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_monitor_logs(sf_dir: str):
+    """``monitor_logs`` endpoint: ``SELECT DISTINCT *`` over the compiled log
+    (``monitor_logs.pipe:12-21``; note column dropped as in q_copy_log)."""
+    log = q_copy_log(sf_dir)
+    return distinct_rows(log, ["id", "timestamp", "value", "anomaly_type"])
+
+
+SQL_MONITOR_LOGS = f"""
+WITH log AS ({SQL_COPY_LOG.strip()})
+SELECT DISTINCT id, timestamp, value, anomaly_type FROM log
+"""
+
+
 ANOMALY_QUERIES: dict[str, Callable[[str], Any]] = {
+    "top_values_per_sensor": q_top_values_per_sensor,
+    "monitor_logs": q_monitor_logs,
     "out_of_range": q_out_of_range,
     "out_of_range_latest": q_out_of_range_latest,
     "timeout": q_timeout,
@@ -369,6 +401,8 @@ ANOMALY_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 ANOMALY_ORACLE: dict[str, str] = {
+    "top_values_per_sensor": SQL_TOP_VALUES_PER_SENSOR,
+    "monitor_logs": SQL_MONITOR_LOGS,
     "out_of_range": SQL_OUT_OF_RANGE,
     "out_of_range_latest": SQL_OUT_OF_RANGE_LATEST,
     "timeout": SQL_TIMEOUT,

@@ -67,16 +67,19 @@ def lag_shift(
 def top_k_by_key(
     ds: "ray.data.Dataset",
     key: str | Sequence[str],
-    order: str,
+    order: str | Sequence[str],
     k: int,
-    descending: bool = True,
+    descending: bool | Sequence[bool] = True,
 ) -> "ray.data.Dataset":
     """``LIMIT k BY key`` after ``ORDER BY order`` — the reference's per-sensor
-    throttle (``content/interquartile-range.md:104``, SURVEY.md §2.6 W3)."""
+    throttle (``content/interquartile-range.md:104``, SURVEY.md §2.6 W3).
+    Pass multiple order columns for a deterministic tiebreak."""
     keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+    descs = [descending] * len(orders) if isinstance(descending, bool) else list(descending)
 
     def head_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, ascending=not descending, kind="mergesort")
+        g = g.sort_values(orders, ascending=[not d for d in descs], kind="mergesort")
         return g.groupby(keys, sort=False).head(k)
 
     from .reduce import grouped_agg
