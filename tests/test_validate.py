@@ -91,6 +91,18 @@ def test_spike_caught_by_both_gates(result):
         assert (spike_repo, spike_part) in set(zip(got["repo"], got["part"].astype(int)))
 
 
+def test_lang_shift_caught_by_both_lang_gates(result):
+    """The planted language-profile shift part is flagged by the
+    lang-frequency z-score and IQR gates (north_star: lang-frequency
+    histograms gated exactly like timeseries points)."""
+    res, exp = result
+    part, lang = exp["lang_shift"]["part"], exp["lang_shift"]["lang"]
+    for check in ("lang_zscore", "lang_iqr"):
+        got = res.violations[res.violations.check == check]
+        flagged = got[got["part"].astype(int) == part]
+        assert any(f"lang:{lang} | " in n for n in flagged["note"]), (check, part)
+
+
 def test_control_repo_clean(result):
     res, exp = result
     assert (res.violations["repo"] == exp["control"]).sum() == 0

@@ -54,6 +54,12 @@ REGISTRY: dict[str, Check] = {
         Check("iqr", "interquartile-range", "gate",
               "tinybird/pipes/copy_iqr.pipe:45-82",
               ("iqr_multiplier",)),
+        Check("lang_zscore", "z-score", "gate",
+              "tinybird/pipes/copy_z_score.pipe:24-56 (metric: lang frequency)",
+              ("zscore_threshold",)),
+        Check("lang_iqr", "interquartile-range", "gate",
+              "tinybird/pipes/copy_iqr.pipe:45-82 (metric: lang frequency)",
+              ("iqr_multiplier",)),
         Check("uniqueness", "uniqueness", "key",
               "tinybird/pipes/dedup_log.pipe:6 (key machinery)",
               ()),

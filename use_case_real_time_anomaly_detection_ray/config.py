@@ -87,6 +87,8 @@ class ValidationConfig:
         "drift_rate",
         "zscore",
         "iqr",
+        "lang_zscore",
+        "lang_iqr",
         "uniqueness",
         "referential",
     )

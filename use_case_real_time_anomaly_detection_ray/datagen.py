@@ -59,6 +59,15 @@ class CorpusSpec:
     n_out_of_range: int = 24
     n_duplicates: int = 6
     n_dangling: int = 8
+    # one part gets a global language-profile shift (the lang-frequency
+    # histogram anomaly the z-score/IQR gates must flag, BASELINE.json
+    # north_star); fraction of that part's rows forced to `shift_lang`
+    lang_shift_frac: float = 0.25
+    shift_lang: str = "json"
+
+    @property
+    def lang_shift_part(self) -> int:
+        return self.n_parts // 2 + 2
 
     @property
     def stop_part(self) -> int:
@@ -116,6 +125,8 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
                  "size": spec.step_size},
         "spike": {"repo": repos[SPIKE], "part": spec.n_parts // 2 + 1,
                   "size": spec.spike_size},
+        "lang_shift": {"part": spec.lang_shift_part, "lang": spec.shift_lang,
+                       "frac": spec.lang_shift_frac},
         "control": repos[CONTROL],
         "spec": asdict(spec),
     }
@@ -148,6 +159,10 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
         u = rng.random(spec.rows_per_part)
         lang_idx = (u[:, None] > cum[ridx]).sum(axis=1)
         lang = LANGS[np.minimum(lang_idx, len(LANGS) - 1)]
+        if part == spec.lang_shift_part and spec.lang_shift_frac > 0:
+            shift_mask = rng.random(spec.rows_per_part) < spec.lang_shift_frac
+            lang = lang.copy()
+            lang[shift_mask] = spec.shift_lang
         repo_col = np.array([repos[i] for i in ridx], dtype=object)
         path_col = np.array(
             [f"src/m{int(o) % 37}/f{part}_{int(o)}.{l}" for o, l in zip(ordinal, lang)],

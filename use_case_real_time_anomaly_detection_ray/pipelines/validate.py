@@ -214,6 +214,72 @@ def repo_part_moments(light: "ray.data.Dataset", cfg: ValidationConfig) -> pd.Da
     return agg
 
 
+def lang_counts(light: "ray.data.Dataset") -> pd.DataFrame:
+    """Per-(part, lang) row counts — the lang-frequency histogram input for
+    the distribution gates (north_star: 'lang-frequency histograms' flagged
+    exactly as the reference flags timeseries points). Partials per block,
+    tiny driver merge."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["part", "lang"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = light.map_batches(partial, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["part", "lang", "n"])
+    return parts.groupby(["part", "lang"], sort=False)["n"].sum().reset_index()
+
+
+def lang_gate_violations(lang_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.Table:
+    """z-score + quantileExact-IQR gates over each language's per-part
+    frequency series (freq = lang rows / part rows). Same detector math and
+    note formats as the content-length gates, with a ``lang:<x> | `` prefix;
+    check names ``lang_zscore`` / ``lang_iqr``."""
+    rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+    if len(lang_stats) == 0:
+        return _viol_table(rows)
+    totals = lang_stats.groupby("part")["n"].sum()
+    df = lang_stats.assign(freq=lang_stats["n"] / lang_stats["part"].map(totals))
+    t, k = cfg.zscore_threshold, cfg.iqr_multiplier
+
+    def emit(check, part, lang, value, atype, note):
+        rows["check"].append(check)
+        rows["part"].append(int(part))
+        rows["repo"].append("")
+        rows["path"].append("")
+        rows["commit"].append("")
+        rows["value"].append(float(value))
+        rows["anomaly_type"].append(atype)
+        rows["note"].append(f"lang:{lang} | {note}")
+        rows["sha256"].append("")
+
+    for lang, g in df.groupby("lang", sort=True):
+        g = g.sort_values("part", kind="mergesort")
+        f = g["freq"].to_numpy(dtype="float64")
+        parts_arr = g["part"].to_numpy(dtype="int64")
+        avg = float(f.mean())
+        std = float(np.sqrt(np.maximum((f * f).mean() - avg * avg, 0.0)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (f - avg) / std
+        avg_r, std_r = scalar.round_half_even(avg, 4), scalar.round_half_even(std, 4)
+        for part, fi, zi in zip(parts_arr, f, z):
+            if zi < -t or zi > t:
+                emit("lang_zscore", part, lang, fi, "z-score",
+                     scalar.note_z_score(zi, t, avg_r, std_r))
+        srt = np.sort(f)
+        q1 = float(srt[scalar.ch_quantile_exact_index(srt.size, 0.25)])
+        q3 = float(srt[scalar.ch_quantile_exact_index(srt.size, 0.75)])
+        iqr_v = (q3 - q1) * k
+        lo_b, hi_b = q1 - iqr_v, q3 + iqr_v
+        for part, fi in zip(parts_arr, f):
+            if fi < lo_b or fi > hi_b:
+                emit("lang_iqr", part, lang, fi, "interquartile-range",
+                     scalar.note_iqr(scalar.round_half_even(lo_b, 4),
+                                     scalar.round_half_even(hi_b, 4)))
+    return _viol_table(rows)
+
+
 def finish_moments(agg: pd.DataFrame) -> pd.DataFrame:
     n = agg["n"].to_numpy(dtype="float64")
     mean = agg["s"].to_numpy(dtype="float64") / n
@@ -541,6 +607,7 @@ def run(
         rv_thread = threading.Thread(target=_run_range, daemon=True)
         rv_thread.start()
         new_stats = repo_part_moments(light, cfg)
+        new_lang = lang_counts(light)
         rv_thread.join()
         if "e" in rv_box:
             raise rv_box["e"]
@@ -563,10 +630,15 @@ def run(
             os.replace(tmp, pdir)
             n_rows = int(new_stats[new_stats["part"] == p]["n"].sum())
             part_rows[p] = n_rows
+            lang_snap = [
+                {"lang": r.lang, "n": int(r.n)}
+                for r in new_lang[new_lang["part"] == p].itertuples()
+            ]
             manifest.mark_done(
                 p, fragments=parts[p], n_rows=n_rows,
                 stats_snapshot=_stats_to_snapshot(new_stats, p),
-                metrics={"n_range_violations": int(len(pv))},
+                metrics={"n_range_violations": int(len(pv)),
+                         "lang_counts": lang_snap},
             )
 
     _mark("per-part writes+manifest")
@@ -576,6 +648,21 @@ def run(
     non_empty = [s for s in (old_stats, new_stats) if len(s)]
     stats = (
         pd.concat(non_empty, ignore_index=True) if non_empty else new_stats
+    )
+    old_lang = pd.DataFrame(
+        [
+            {"part": p, "lang": d["lang"], "n": d["n"]}
+            for p, rec in done.items()
+            for d in rec.get("metrics", {}).get("lang_counts", [])
+        ],
+        columns=["part", "lang", "n"],
+    )
+    lang_non_empty = [x for x in (old_lang, new_lang if todo else old_lang.iloc[0:0])
+                      if len(x)]
+    lang_stats = (
+        pd.concat(lang_non_empty, ignore_index=True)
+        if lang_non_empty
+        else pd.DataFrame(columns=["part", "lang", "n"])
     )
 
     # ---- phase 2: join the concurrent key-only scan -----------------------
@@ -593,9 +680,20 @@ def run(
     gates = to_arrow_single(
         gate_violations(stats, cfg, global_max_part, manifest_repos)
     ).to_pandas()
+    lang_gates = (
+        lang_gate_violations(lang_stats, cfg).to_pandas()
+        if ("lang_zscore" in cfg.checks or "lang_iqr" in cfg.checks)
+        else pd.DataFrame(columns=VIOLATION_COLS)
+    )
+    lang_gates = lang_gates[
+        lang_gates["check"].isin([c for c in ("lang_zscore", "lang_iqr")
+                                  if c in cfg.checks])
+    ]
     _mark("gates")
 
     # ---- assemble ----------------------------------------------------------
+    gates = pd.concat([f for f in (gates, lang_gates) if len(f)],
+                      ignore_index=True) if len(lang_gates) else gates
     range_df = pd.concat(
         [
             pq.read_table(
