@@ -22,7 +22,7 @@ Execution shape (SURVEY.md §2.2–2.6):
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Union
+from typing import Any, Union
 
 import numpy as np
 import pandas as pd
@@ -417,12 +417,35 @@ def copy_log_duplicates(
         win = _window_filter(ds, lo).materialize()
     else:
         win = ds
+    # z-score and IQR eagerly collect their per-id stats (broadcast sides);
+    # overlap those two collections in threads before assembling the DAG
+    import threading
+
+    boxes: dict[str, Any] = {}
+
+    def _z() -> None:
+        try:
+            boxes["z"] = z_score(win, params, now)
+        except Exception as e:
+            boxes["z_err"] = e
+
+    def _i() -> None:
+        try:
+            boxes["i"] = iqr(win, params, now)
+        except Exception as e:
+            boxes["i_err"] = e
+
+    tz, ti = threading.Thread(target=_z, daemon=True), threading.Thread(target=_i, daemon=True)
+    tz.start(); ti.start(); tz.join(); ti.join()
+    for k in ("z_err", "i_err"):
+        if k in boxes:
+            raise boxes[k]
     parts = [
         out_of_range(win, params, now, latest_only=True),
         timeout(ds, params, now),
         rate_of_change(win, params, now),
-        z_score(win, params, now),
-        iqr(win, params, now),
+        boxes["z"],
+        boxes["i"],
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -384,7 +384,44 @@ SELECT DISTINCT id, timestamp, value, anomaly_type FROM log
 """
 
 
+def q_daily_stats(sf_dir: str):
+    """Tumbling event-time window (1 day) per sensor: count + exact-cents mean
+    (ray_guide 'Streaming-shaped workloads': tumbling windows as
+    groupby(key, bucket) aggregates)."""
+    ds = _events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["timestamp"].dt.floor("D")
+        c = np.floor(df["value"].to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"id": df["id"].to_numpy(), "day": day.to_numpy(), "c": c})
+        return g.groupby(["id", "day"], sort=False).agg(
+            n=("c", "size"), sc=("c", "sum")
+        ).reset_index()
+
+    from ..stages.reduce import grouped_agg
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id", "day"], sort=False).agg(
+            n=("n", "sum"), sc=("sc", "sum")
+        ).reset_index()
+        agg["mean_value"] = np.floor(
+            (agg["sc"] / agg["n"]) / 100.0 * 100.0 + 0.5
+        ) / 100.0
+        return agg.drop(columns=["sc"])
+
+    return grouped_agg(ds.select_columns(["id", "timestamp", "value"]),
+                       ["id", "day"], partial, merge)
+
+
+SQL_DAILY_STATS = """
+SELECT user_id AS id, date_trunc('day', ts) AS day, count(*) AS n,
+       floor((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / count(*)) / 100.0 * 100 + 0.5) / 100 AS mean_value
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
 ANOMALY_QUERIES: dict[str, Callable[[str], Any]] = {
+    "daily_stats": q_daily_stats,
     "top_values_per_sensor": q_top_values_per_sensor,
     "monitor_logs": q_monitor_logs,
     "out_of_range": q_out_of_range,
@@ -401,6 +438,7 @@ ANOMALY_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 ANOMALY_ORACLE: dict[str, str] = {
+    "daily_stats": SQL_DAILY_STATS,
     "top_values_per_sensor": SQL_TOP_VALUES_PER_SENSOR,
     "monitor_logs": SQL_MONITOR_LOGS,
     "out_of_range": SQL_OUT_OF_RANGE,
