@@ -33,6 +33,14 @@ import warnings
 # sys 39 -> 12 core-s). Set before ray.init so workers inherit.
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 os.environ.setdefault("MIMALLOC_ALLOW_LARGE_OS_PAGES", "1")
+# Never purge freed arenas back to the OS: a worker's first decode task
+# faults its buffers once and every later task reuses the same resident
+# pages, so total page-fault volume is O(workers x working-set) instead of
+# O(total bytes decoded) — the difference between 0.5 and ~1.0 scaling
+# efficiency on this page-fault-serializing guest kernel.
+os.environ.setdefault("MIMALLOC_PURGE_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_RESET_DELAY", "-1")  # mimalloc<2.1 name
+os.environ.setdefault("MIMALLOC_ARENA_EAGER_COMMIT", "1")
 
 BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "48"))
 BENCH_ROWS = int(os.environ.get("BENCH_ROWS_PER_PART", "160000"))

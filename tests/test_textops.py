@@ -49,7 +49,8 @@ def test_exact_dedup(corpus):
 
 def test_minhash_dedup_finds_planted_pairs(corpus):
     df, dup_pairs, exact_pairs = corpus
-    out = textops.minhash_dedup(_ds(df), threshold=0.6)
+    out = textops.minhash_dedup(_ds(df), threshold=0.6).to_pandas()
+    assert len(out) == len(df) and set(out.columns) == {"doc_id", "cluster_id", "keep"}
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     for a, b in dup_pairs + exact_pairs:
         assert cl[a] == cl[b], (a, b)
@@ -81,7 +82,8 @@ def test_simhash_dedup_finds_planted_pairs(ray_session):
         dup_pairs.append((i * 2, 30 + i))
     docs.append(docs[7])  # exact dup
     df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
-    out = textops.simhash_dedup(_ds(df), max_hamming=3)
+    out = textops.simhash_dedup(_ds(df), max_hamming=3).to_pandas()
+    assert len(out) == len(df)
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[7] == cl[35]  # exact dup always collapses
     found = sum(cl[a] == cl[b] for a, b in dup_pairs)
@@ -150,3 +152,65 @@ def test_cosine_near_dup_pairs(ray_session):
     ds = ray.data.from_pandas([df.iloc[:25], df.iloc[25:]])
     pairs = ann.cosine_near_dup_pairs(ds, threshold=0.999)
     assert (3, 10) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_cosine_near_dup_matches_bruteforce(ray_session):
+    """Block-pair distributed scan == driver-side all-pairs reference."""
+    rng = np.random.default_rng(12)
+    m = rng.normal(size=(40, 6))
+    m[7] = m[2] * 1.5
+    m[30] = m[11] + rng.normal(scale=1e-2, size=6)
+    df = pd.DataFrame({"vec_id": range(40), "embedding": [r.astype("float64") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:13], df.iloc[13:29], df.iloc[29:]])
+    got = ann.cosine_near_dup_pairs(ds, threshold=0.9)
+    nn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = nn @ nn.T
+    want = {(a, b) for a in range(40) for b in range(a + 1, 40) if cos[a, b] >= 0.9}
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def _guarded_to_pandas(monkeypatch, n_corpus):
+    """Wrap Dataset.to_pandas: fail the test if any driver pull carries the
+    raw text column or a full-corpus-sized frame (the round-1 anti-pattern)."""
+    orig = ray.data.Dataset.to_pandas
+
+    def guarded(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        assert "text" not in out.columns, "corpus text pulled to the driver"
+        assert len(out) < n_corpus, (
+            f"full-corpus frame ({len(out)} rows) pulled to the driver"
+        )
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
+    return orig
+
+
+def test_dedup_tails_never_materialize_corpus(corpus, monkeypatch):
+    """minhash/simhash/ngram run end-to-end with Dataset.to_pandas guarded:
+    only sub-corpus pair/partial frames may reach the driver."""
+    df, dup_pairs, _e = corpus
+    n = len(df)
+    _guarded_to_pandas(monkeypatch, n)
+    mh = textops.minhash_dedup(_ds(df), threshold=0.6)
+    sh = textops.simhash_dedup(_ds(df), max_hamming=3)
+    pairs = textops.ngram_jaccard_pairs(_ds(df), threshold=0.5)
+    monkeypatch.undo()
+    out = mh.to_pandas()
+    assert len(out) == n and out["keep"].sum() < n
+    assert len(sh.to_pandas()) == n
+    assert len(pairs) > 0
+
+
+def test_ann_tails_never_materialize_corpus(ray_session, monkeypatch):
+    rng = np.random.default_rng(13)
+    n = 200
+    m = rng.normal(size=(n, 16))
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:70], df.iloc[70:140], df.iloc[140:]])
+    _guarded_to_pandas(monkeypatch, n)
+    out = ann.lsh_bucket_topk(ds, np.array([0]), m[:1], k=5, n_planes=4)
+    pairs = ann.cosine_near_dup_pairs(ds, threshold=0.99)
+    monkeypatch.undo()
+    assert len(out) and out.iloc[0]["vec_id"] == 0
+    assert isinstance(pairs, pd.DataFrame)

@@ -198,6 +198,30 @@ def test_resume_after_crash_is_identical(corpus, tmp_path_factory, ray_session):
     )
 
 
+def test_uniqueness_bucketed_merge_path_equal(corpus, ray_session):
+    """The >threshold bucketed int-key shuffle merge produces exactly the
+    driver-merge output (threshold forced to 0 so the tiny corpus routes
+    through the bucketed path)."""
+    import ray as _ray
+
+    cdir, exp = corpus
+    files = [f for frags in validate.discover_parts(cdir).values() for f in frags]
+    cols = validate._UNIQ_KEYS + ["part"]
+
+    def _run(thresh):
+        pre = _ray.data.read_parquet(files, columns=cols)
+        ds = _ray.data.read_parquet(files, columns=cols)
+        out = validate._uniqueness_from_datasets(pre, ds, bucketed_above=thresh)
+        return (out.to_pandas()
+                .sort_values(validate.VIOLATION_COLS).reset_index(drop=True))
+
+    driver = _run(10**9)
+    bucketed = _run(0)
+    pd.testing.assert_frame_equal(driver, bucketed)
+    want = {(u["part"], u["repo"], u["path"], u["commit"]) for u in exp["uniqueness"]}
+    assert _key(bucketed) == want
+
+
 def test_rerun_noop_resume(corpus, tmp_path_factory, ray_session):
     cdir, _ = corpus
     odir = str(tmp_path_factory.mktemp("vnoop") / "o")

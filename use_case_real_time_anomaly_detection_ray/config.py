@@ -38,8 +38,10 @@ class DetectorParams:
     (max_slope 3), ``copy_timeout.pipe:33`` (timeout 10 s).
     """
 
-    min_value: float = 200.0
-    max_value: float = 2000.0
+    # None = bound not configured (one-sided checks allowed; BOTH None makes
+    # the range check raise, mirroring out_of_range.pipe:28 error()).
+    min_value: float | None = 200.0
+    max_value: float | None = 2000.0
     detect_window_seconds: int = 61
     stats_window_minutes: int = 10
     zscore_threshold: float = 2.0

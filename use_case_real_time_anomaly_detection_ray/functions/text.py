@@ -186,14 +186,26 @@ _LANG_MARKERS: dict[str, frozenset] = {
 }
 
 
+def _round4_halfup(x: float) -> float:
+    """floor(x*1e4 + 0.5)/1e4 — the same expression the SQL oracle evaluates,
+    deterministic given an identical double (Python round() is half-even and
+    disagrees on ties)."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
 def lang_id(text: str) -> tuple[str, float]:
-    """Heuristic language ID: argmax marker-stopword hit rate; CJK codepoint
-    share short-circuits to ``zh``. Returns (lang, score in [0,1])."""
+    """Heuristic language ID: argmax marker-stopword hit rate (first language
+    in ``_LANG_MARKERS`` order wins ties — only a strictly greater score
+    displaces the leader); CJK codepoint share short-circuits to ``zh``.
+    Returns (lang, score in [0,1]); oracle-reproducible (SQL in
+    ``pipelines.tqueries.SQL_DOC_LANG_ID``)."""
     if not text:
         return "und", 0.0
     cjk = sum(1 for ch in text[:4000] if "一" <= ch <= "鿿")
     if cjk > 0.05 * min(len(text), 4000):
-        return "zh", round(cjk / min(len(text), 4000), 4)
+        return "zh", _round4_halfup(cjk / min(len(text), 4000))
     w = [x.lower() for x in words(text)[:2000]]
     if not w:
         return "und", 0.0
@@ -202,7 +214,7 @@ def lang_id(text: str) -> tuple[str, float]:
         score = sum(1 for x in w if x in markers) / len(w)
         if score > best_score:
             best, best_score = lang, score
-    return (best, round(best_score, 4)) if best_score > 0 else ("und", 0.0)
+    return (best, _round4_halfup(best_score)) if best_score > 0 else ("und", 0.0)
 
 
 def quality_features(text: str) -> dict:

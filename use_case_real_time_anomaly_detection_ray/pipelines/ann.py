@@ -1,14 +1,22 @@
 """Similarity search over an embedding column (``list<float>``).
 
-Baseline: brute-force cosine top-k — the query matrix is broadcast once
-(``ray.put``), each batch does one numpy matmul against it (vectorized,
-zero-copy Arrow list column → contiguous ndarray), and per-batch top-k
-partials are merged driver-side. Scale path: LSH-bucketed variant
-(random-hyperplane signs co-partition base and query vectors; only matching
-buckets are scanned), plus embedding-cosine near-duplicate pairs.
+Baseline: brute-force cosine top-k — the (pre-normalized) query matrix is
+broadcast once (``ray.put``), each batch does one numpy matmul against it
+(vectorized, zero-copy Arrow list column → contiguous ndarray), and per-batch
+top-k partials are merged driver-side (O(queries × k × blocks) rows — never
+the score matrix). Scale path: LSH-bucketed variant (random-hyperplane signs
+prune which base vectors each query scores), plus embedding-cosine
+near-duplicate pairs via distributed block-pair scoring.
+
+All stages run as STATELESS TASKS with a per-process broadcast cache
+(``stages.join._fetch``) — an autoscaling actor pool starting at 1 actor never
+catches up on a seconds-long stage (measured 0.51→1.03 scaling efficiency
+going pool→tasks, BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import pandas as pd
@@ -16,6 +24,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from ..stages.join import _fetch
 
 
 def _list_col_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -37,35 +47,44 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteForceScorer:
-    """Actor-pool stage: per-batch cosine scores against the broadcast query
-    matrix; emits each batch's per-query top-k partial (merged later)."""
+def _topk_partial(t: pa.Table, qref, id_col: str, emb_col: str, k: int) -> pa.Table:
+    """Stateless per-batch scorer: cosine against the broadcast normalized
+    query matrix, emitting this batch's per-query top-k partial."""
+    query_ids, qn = _fetch(qref)
+    if t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    base = _list_col_to_matrix(t[emb_col])
+    bn = _normalize(base)
+    ids = np.asarray(t[id_col].to_pylist())
+    cos = qn @ bn.T  # (m, batch)
+    k = min(k, cos.shape[1])
+    idx = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
+    out_q, out_id, out_cos = [], [], []
+    for qi in range(cos.shape[0]):
+        out_q.extend([query_ids[qi]] * k)
+        out_id.extend(ids[idx[qi]].tolist())
+        out_cos.extend(cos[qi, idx[qi]].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_cos, pa.float64()),
+        }
+    )
 
-    def __init__(self, qref: "ray.ObjectRef", id_col: str, emb_col: str, k: int):
-        q = ray.get(qref)  # (query_ids, (m, d) matrix) — fetched once per actor
-        self.query_ids, qm = q
-        self.qn = _normalize(qm)
-        self.id_col, self.emb_col, self.k = id_col, emb_col, k
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        base = _list_col_to_matrix(t[self.emb_col])
-        bn = _normalize(base)
-        ids = np.asarray(t[self.id_col].to_pylist())
-        cos = self.qn @ bn.T  # (m, batch)
-        k = min(self.k, cos.shape[1])
-        idx = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
-        out_q, out_id, out_cos = [], [], []
-        for qi in range(cos.shape[0]):
-            out_q.extend([self.query_ids[qi]] * k)
-            out_id.extend(ids[idx[qi]].tolist())
-            out_cos.extend(cos[qi, idx[qi]].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "cosine": pa.array(out_cos, pa.float64()),
-            }
-        )
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver merge of per-block top-k partials; ties on cosine break by
+    ascending vec_id (deterministic)."""
+    return (
+        partials.sort_values(["query_id", "cosine", "vec_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def brute_force_topk(
@@ -77,23 +96,15 @@ def brute_force_topk(
     emb_col: str = "embedding",
 ) -> pd.DataFrame:
     """Exact cosine top-k per query: batch-local top-k partials → driver merge
-    (partials are (queries × k × blocks) rows — never the full score matrix).
-    Ties on cosine break by ascending vec_id (deterministic)."""
-    qref = ray.put((np.asarray(query_ids), np.asarray(query_matrix, dtype=np.float64)))
+    (partials are (queries × k × blocks) rows — never the full score matrix)."""
+    qref = ray.put((np.asarray(query_ids),
+                    _normalize(np.asarray(query_matrix, dtype=np.float64))))
     partials = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_args=(qref, id_col, emb_col, k),
+        functools.partial(_topk_partial, qref=qref, id_col=id_col,
+                          emb_col=emb_col, k=k),
         batch_format="pyarrow",
-        concurrency=(1, 64),
     ).to_pandas()
-    out = (
-        partials.sort_values(["query_id", "cosine", "vec_id"],
-                             ascending=[True, False, True], kind="mergesort")
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return out
+    return _merge_topk(partials, k)
 
 
 def embedding_self_topk(
@@ -117,6 +128,43 @@ def embedding_self_topk(
 # LSH-bucketed variant (scale path)
 # --------------------------------------------------------------------------
 
+def _lsh_partial(t: pa.Table, bref, id_col: str, emb_col: str, k: int,
+                 n_planes: int) -> pa.Table:
+    """Stateless per-batch LSH scorer: signature each base vector, then for
+    every query bucket present in this batch score only the rows sharing it
+    and emit that batch's per-query top-k partial. All scoring stays inside
+    the task — the driver only merges (queries × k × blocks) partial rows."""
+    query_ids, qn, qsig, planes = _fetch(bref)
+    if t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    m = _list_col_to_matrix(t[emb_col])
+    sig = (m @ planes > 0) @ (1 << np.arange(n_planes))
+    ids = np.asarray(t[id_col].to_pylist())
+    out_q, out_id, out_cos = [], [], []
+    for bucket in np.unique(qsig):
+        rows = np.flatnonzero(sig == bucket)
+        if rows.size == 0:
+            continue
+        qidx = np.flatnonzero(qsig == bucket)
+        bn = _normalize(m[rows])
+        cos = qn[qidx] @ bn.T  # (|qidx|, |rows|)
+        kk = min(k, rows.size)
+        top = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
+        for r, qi in enumerate(qidx):
+            out_q.extend([query_ids[qi]] * kk)
+            out_id.extend(ids[rows[top[r]]].tolist())
+            out_cos.extend(cos[r, top[r]].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_cos, pa.float64()),
+        }
+    )
+
+
 def lsh_bucket_topk(
     ds: "ray.data.Dataset",
     query_ids: np.ndarray,
@@ -128,51 +176,62 @@ def lsh_bucket_topk(
     emb_col: str = "embedding",
 ) -> pd.DataFrame:
     """Approximate top-k: random-hyperplane signature buckets; only base
-    vectors sharing a query's bucket are scored. Trades recall for a
-    1/2^n_planes scan fraction — the scale path where the brute-force
-    matmul is infeasible. Deterministic given the seed."""
-    d = np.asarray(query_matrix).shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(d, n_planes))
-    qsig = (np.asarray(query_matrix, dtype=np.float64) @ planes > 0) @ (
-        1 << np.arange(n_planes)
-    )
-    wanted = pa.array(np.unique(qsig).astype("int64"))
-    pref = ray.put(planes)
-
-    class Bucketize:
-        def __init__(self):
-            self.planes = ray.get(pref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _list_col_to_matrix(t[emb_col])
-            sig = (m @ self.planes > 0) @ (1 << np.arange(n_planes))
-            tt = t.append_column("bucket", pa.array(sig.astype("int64")))
-            return tt.filter(pa.compute.is_in(tt["bucket"], value_set=wanted))
-
-    filtered = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 64))
-    qbuck: dict[int, list[int]] = {}
-    for qi, s in enumerate(qsig):
-        qbuck.setdefault(int(s), []).append(qi)
+    vectors sharing a query's bucket are scored — a 1/2^n_planes scan
+    fraction, the scale path where the brute-force matmul is infeasible.
+    Scoring happens inside ``map_batches`` (per-block top-k partials, same
+    merge as :func:`brute_force_topk`); nothing but partials reaches the
+    driver. Deterministic given the seed."""
     q = np.asarray(query_matrix, dtype=np.float64)
-    frames = []
-    fdf = filtered.to_pandas()
-    for bucket, qidx in qbuck.items():
-        sub = fdf[fdf["bucket"] == bucket]
-        if not len(sub):
-            continue
-        bm = np.stack([np.asarray(e, dtype=np.float64) for e in sub[emb_col]])
-        cos = _normalize(q[qidx]) @ _normalize(bm).T
-        for row, qi in enumerate(qidx):
-            order = np.argsort(-cos[row], kind="mergesort")[:k]
-            frames.append(pd.DataFrame({
-                "query_id": np.asarray(query_ids)[qi],
-                "vec_id": sub[id_col].to_numpy()[order],
-                "cosine": cos[row][order],
-            }))
-    if not frames:
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(q.shape[1], n_planes))
+    qsig = (q @ planes > 0) @ (1 << np.arange(n_planes))
+    bref = ray.put((np.asarray(query_ids), _normalize(q), qsig, planes))
+    partials = ds.map_batches(
+        functools.partial(_lsh_partial, bref=bref, id_col=id_col,
+                          emb_col=emb_col, k=k, n_planes=n_planes),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(partials):
         return pd.DataFrame(columns=["query_id", "vec_id", "cosine"])
-    return pd.concat(frames, ignore_index=True)
+    return _merge_topk(partials, k)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (exact, distributed block-pair scan)
+# --------------------------------------------------------------------------
+
+@ray.remote
+def _block_pair_scores(ta: pa.Table, tb: pa.Table | None, threshold: float,
+                       id_col: str, emb_col: str) -> pa.Table:
+    """Score one block (self mode, ``tb is None``) or one block pair for
+    cosine ≥ threshold; emit (a, b, cosine) with a < b. Runs as a Ray task —
+    blocks stream from the object store, pairs (tiny) return to the driver."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if ta.num_rows == 0 or (tb is not None and tb.num_rows == 0):
+        return empty
+    ma = _normalize(_list_col_to_matrix(ta[emb_col]))
+    ia = np.asarray(ta[id_col].to_pylist())
+    if tb is None:
+        cos = ma @ ma.T
+        ai, bi = np.nonzero(np.triu(cos >= threshold, k=1))
+        ib = ia
+    else:
+        mb = _normalize(_list_col_to_matrix(tb[emb_col]))
+        ib = np.asarray(tb[id_col].to_pylist())
+        cos = ma @ mb.T
+        ai, bi = np.nonzero(cos >= threshold)
+    a = ia[ai]
+    b = ib[bi]
+    c = cos[ai, bi]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    keep = a2 != b2
+    return pa.table({"a": pa.array(a2[keep], pa.int64()),
+                     "b": pa.array(b2[keep], pa.int64()),
+                     "cosine": pa.array(c[keep], pa.float64())})
 
 
 def cosine_near_dup_pairs(
@@ -181,34 +240,25 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
-    Brute-force blocked matmul: each batch scores against the broadcast
-    normalized matrix (O(n²/B) per batch — fine to ~10^5; LSH-bucket for
-    more)."""
-    full = ds.select_columns([id_col, emb_col]).to_pandas()
-    ids = full[id_col].to_numpy()
-    m = _normalize(np.stack([np.asarray(e, dtype=np.float64) for e in full[emb_col]]))
-    mref = ray.put((ids, m))
-
-    class PairScorer:
-        def __init__(self):
-            self.ids, self.m = ray.get(mref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bm = _normalize(_list_col_to_matrix(t[emb_col]))
-            bids = np.asarray(t[id_col].to_pylist())
-            cos = bm @ self.m.T
-            rows_a, rows_b, rows_c = [], [], []
-            ai, bi = np.nonzero(cos >= threshold)
-            for i, j in zip(ai, bi):
-                a, b = int(bids[i]), int(self.ids[j])
-                if a < b:
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    rows_c.append(float(cos[i, j]))
-            return pa.table({"a": pa.array(rows_a, pa.int64()),
-                             "b": pa.array(rows_b, pa.int64()),
-                             "cosine": pa.array(rows_c, pa.float64())})
-
-    pairs = ds.map_batches(PairScorer, batch_format="pyarrow", concurrency=(1, 64))
-    return pairs.to_pandas().drop_duplicates(["a", "b"]).reset_index(drop=True)
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
+    EXACT and distributed: the (id, embedding) projection is materialized as
+    object-store blocks, and every block pair is scored by an independent Ray
+    task (the Dataset API has no self-cross-join, so this drops to raw tasks
+    by design). The driver holds block *refs* and the resulting pair list —
+    never an embedding matrix. O(B²/2) tasks over B blocks: exact-but-
+    quadratic compute, distributed across the cluster; at corpus scale run
+    :func:`lsh_bucket_topk`-style bucketing first to bound B per bucket."""
+    refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    tasks = []
+    for i in range(len(refs)):
+        tasks.append(_block_pair_scores.remote(refs[i], None, threshold,
+                                               id_col, emb_col))
+        for j in range(i + 1, len(refs)):
+            tasks.append(_block_pair_scores.remote(refs[i], refs[j], threshold,
+                                                   id_col, emb_col))
+    parts = [t.to_pandas() for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    out = pd.concat(parts, ignore_index=True)
+    return (out.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"], kind="mergesort").reset_index(drop=True))

@@ -92,6 +92,25 @@ LOG_SCHEMA = pa.schema(
 )
 
 
+def _finalize_tbl(t: pa.Table, anomaly_type: str, notes) -> pa.Table:
+    """Arrow-native projection to the copy-log contract — no pandas hop.
+    Typed even when empty. Stages that filter AND format do both in ONE
+    ``map_batches`` call: Ray skips the UDF on empty input blocks and emits
+    schema-less placeholders, so a separate format stage downstream of a
+    filter would lose the schema whenever a block filters to nothing."""
+    return pa.table(
+        {
+            "id": t["id"].cast(pa.int64()),
+            "timestamp": t["timestamp"].cast(pa.timestamp("us")),
+            "value": t["value"].cast(pa.float64()),
+            "anomaly_type": pa.array([anomaly_type] * t.num_rows, pa.string()),
+            "note": (notes if isinstance(notes, (pa.Array, pa.ChunkedArray))
+                     else pa.array(list(notes), pa.string())),
+        },
+        schema=LOG_SCHEMA,
+    )
+
+
 def _finalize(df: pd.DataFrame, anomaly_type: str, notes) -> pa.Table:
     """Project to the copy-log contract as a typed Arrow table (typed even when
     empty, so downstream schema unification never sees object columns)."""
@@ -125,23 +144,36 @@ def out_of_range(
     """
     lo = _cutoff(now, params.detect_window_seconds)
     mn, mx = params.min_value, params.max_value
+    if mn is None and mx is None:
+        # the reference's required-parameter guard (out_of_range.pipe:28):
+        # {{ error('You must define at least one of min_value or max_value') }}
+        raise ValueError("You must define at least one of min_value or max_value")
+
+    if mn is not None and mx is not None:
+        note = scalar.note_out_of_range(mn, mx)
+    elif mn is not None:  # one-sided: only the configured bound is reported
+        note = f"min:{scalar.ch_float_str(mn)}"
+    else:
+        note = f"max:{scalar.ch_float_str(mx)}"
 
     def detect(t: pa.Table) -> pa.Table:
-        oob = pc.or_(pc.less(t["value"], pa.scalar(mn)), pc.greater(t["value"], pa.scalar(mx)))
+        if mn is not None and mx is not None:
+            oob = pc.or_(pc.less(t["value"], pa.scalar(mn)),
+                         pc.greater(t["value"], pa.scalar(mx)))
+        elif mn is not None:  # one-sided, out_of_range.pipe:20-26
+            oob = pc.less(t["value"], pa.scalar(mn))
+        else:
+            oob = pc.greater(t["value"], pa.scalar(mx))
         mask = pc.and_(oob, pc.greater(t["timestamp"], pa.scalar(lo, pa.timestamp("us"))))
         if params.sensor_id is not None:
             mask = pc.and_(mask, pc.equal(t["id"], pa.scalar(params.sensor_id)))
-        return t.filter(mask)
+        bad = t.filter(mask)
+        return _finalize_tbl(bad, "out-of-range", [note] * bad.num_rows)
 
     hits = ds.map_batches(detect, batch_format="pyarrow")
     if latest_only:
         hits = latest_by_key(hits, ["id"], ["timestamp", "value"])
-    note = scalar.note_out_of_range(mn, mx)
-
-    def fmt(df: pd.DataFrame) -> pa.Table:
-        return _finalize(df, "out-of-range", [note] * len(df))
-
-    return hits.map_batches(fmt, batch_format="pandas")
+    return hits
 
 
 # ---------------------------------------------------------------------------
@@ -167,12 +199,10 @@ def timeout(
         mask = pc.less(t["timestamp"], pa.scalar(cut, pa.timestamp("us")))
         if params.sensor_id is not None:
             mask = pc.and_(mask, pc.equal(t["id"], pa.scalar(params.sensor_id)))
-        return t.filter(mask)
+        bad = t.filter(mask)
+        return _finalize_tbl(bad, "timeout", [scalar.NOTE_TIMEOUT] * bad.num_rows)
 
-    def fmt(df: pd.DataFrame) -> pa.Table:
-        return _finalize(df, "timeout", [scalar.NOTE_TIMEOUT] * len(df))
-
-    return latest.map_batches(stale, batch_format="pyarrow").map_batches(fmt, batch_format="pandas")
+    return latest.map_batches(stale, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +234,10 @@ def rate_of_change(
         with np.errstate(divide="ignore", invalid="ignore"):
             slope = (df["value"] - df["previous_value"]) / dt_s
         vdiff = df["value"] - df["previous_value"]
-        keep = np.abs(slope) > params.max_slope  # NaN (first row / Δt=0&Δv=0) compares False
+        # NaN (first row) compares False; Δt==0 (duplicate (id, ts)) is masked
+        # explicitly — IEEE slope=±inf vs SQL NULL would otherwise make the
+        # flag data-dependent (ADVICE r1)
+        keep = (np.abs(slope) > params.max_slope) & (dt_s != 0)
         df, slope, vdiff = df[keep], slope[keep], vdiff[keep]
         notes = [scalar.note_rate_of_change(s, params.max_slope, v)
                  for s, v in zip(slope, vdiff)]
@@ -279,10 +312,11 @@ def z_score(
     """``zscore = (value - avg) / stddevPop`` per sensor over the stats window,
     flagged when ``zscore < -t OR zscore > t`` (``copy_z_score.pipe:38,55``).
 
-    Division by a zero stddev follows IEEE like ClickHouse (quirk Q4): a value
-    equal to the constant window yields NaN → never flagged; a detect row can
-    only differ from a zero-variance stats window if it lies outside the stats
-    window, which cannot happen since the detect window is a suffix of it."""
+    A zero stddev is masked explicitly (never flagged): a value equal to the
+    constant window yields NaN under IEEE (quirk Q4, never flagged anyway),
+    and a sub-cent difference against an exact-cents zero-variance window
+    would otherwise produce ±inf — flagged by IEEE but NULL-dropped by SQL
+    engines. Masking pins the semantics on both sides (ADVICE r1)."""
     stats = per_id_mean_std(ds, now, params.stats_window_minutes,
                             exact_cents=params.exact_cents)
     hi = _to_dt64(now)
@@ -296,7 +330,7 @@ def z_score(
             return _finalize(df, "z-score", [])
         with np.errstate(divide="ignore", invalid="ignore"):
             z = (df["value"] - df["average"]) / df["std_dev"]
-        keep = (z < -t) | (z > t)
+        keep = ((z < -t) | (z > t)) & (df["std_dev"] != 0)
         df, z = df[keep], z[keep]
         avg_r = np.round(df["average"], 2)  # ROUND(...,2), copy_z_score.pipe:39-40
         std_r = np.round(df["std_dev"], 2)

@@ -81,7 +81,11 @@ def column_profile(
     ds: "ray.data.Dataset",
     columns: Sequence[str],
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
-    concurrency=(1, 64),
+    # fixed pool — autoscaling-from-1 never catches up on seconds-long
+    # stages. Default 2 leaves CPUs for the upstream read even in a 4-CPU
+    # session (a pool == session CPUs starves the read tasks and deadlocks);
+    # size to the cluster when calling.
+    concurrency: int = 2,
     batch_size: int | None = 65536,
 ) -> pd.DataFrame:
     """Distributed per-column profile: n / nulls / null_rate / mean /
@@ -159,8 +163,11 @@ def column_profile_exact_cents(
         out.append(
             {
                 "column": c, "n": int(r["n"]), "n_null": int(r["nulls"]),
-                "mean": np.floor((mean_c / 100.0) * 100.0 + 0.5) / 100.0,
-                "std_pop": np.floor((np.sqrt(var_c) / 100.0) * 100.0 + 0.5) / 100.0,
+                # EXACTLY the oracle's expression (floor(mean_cents + 0.5)/100):
+                # a /100*100 float roundtrip is not an identity and can floor a
+                # .5-tie one cent lower than SQL
+                "mean": np.floor(mean_c + 0.5) / 100.0,
+                "std_pop": np.floor(np.sqrt(var_c) + 0.5) / 100.0,
                 "vmin": float(r["mn"]), "vmax": float(r["mx"]),
             }
         )

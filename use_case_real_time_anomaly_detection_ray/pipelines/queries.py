@@ -145,7 +145,10 @@ def q_rate_of_change(sf_dir: str):
         dt_s = anomaly.timestamp_delta_seconds(df["timestamp"], df["previous_timestamp"])
         with np.errstate(divide="ignore", invalid="ignore"):
             s = (df["value"] - df["previous_value"]) / dt_s
-        keep = np.abs(s) > _P.max_slope
+        # dt==0 rows (duplicate (id, ts)) are masked EXPLICITLY on both sides:
+        # IEEE gives slope=±inf here while SQL engines yield NULL — pin the
+        # semantics instead of leaving them data-dependent
+        keep = (np.abs(s) > _P.max_slope) & (dt_s != 0)
         out = df[keep][["id", "timestamp", "value"]].copy()
         out["slope"] = s[keep]
         out["value_diff"] = (df["value"] - df["previous_value"])[keep]
@@ -168,6 +171,7 @@ SELECT id, ts AS timestamp, value,
        (value - prev_value) AS value_diff
 FROM lagged
 WHERE prev_ts IS NOT NULL
+  AND date_diff('microsecond', prev_ts, ts) <> 0
   AND abs((value - prev_value) / (date_diff('microsecond', prev_ts, ts) / 1000000.0)) > {_P.max_slope}
 """
 
@@ -187,7 +191,9 @@ def q_z_score(sf_dir: str):
     def score(df: pd.DataFrame) -> pa.Table:
         with np.errstate(divide="ignore", invalid="ignore"):
             z = (df["value"] - df["average"]) / df["std_dev"]
-        keep = (z < -t) | (z > t)
+        # std_dev==0 masked explicitly (IEEE ±inf vs SQL NULL — same hazard
+        # as the rate-of-change dt==0 case; pinned on both sides)
+        keep = ((z < -t) | (z > t)) & (df["std_dev"] != 0)
         out = df[keep][["id", "timestamp", "value"]].copy()
         # half-up-to-2-decimals on both engine and oracle: exact .005 ties are
         # common here (averages are small-denominator rationals), and numpy
@@ -222,8 +228,9 @@ SELECT w.id AS id, w.ts AS timestamp, w.value AS value,
        floor(s.average * 100 + 0.5) / 100 AS average,
        floor(s.std_dev * 100 + 0.5) / 100 AS std_dev
 FROM win w JOIN stats s ON w.id = s.id
-WHERE (w.value - s.average) / s.std_dev < -{_P.zscore_threshold}
-   OR (w.value - s.average) / s.std_dev > {_P.zscore_threshold}
+WHERE s.std_dev <> 0
+  AND ((w.value - s.average) / s.std_dev < -{_P.zscore_threshold}
+   OR  (w.value - s.average) / s.std_dev > {_P.zscore_threshold})
 """
 
 
@@ -420,6 +427,112 @@ FROM events GROUP BY user_id, date_trunc('day', ts)
 """
 
 
+def q_simple_z_score(sf_dir: str):
+    """``simple_z_score.pipe:33-76``: same stats-CTE machinery as ``z_score``
+    but with the endpoint's defaults — ``zscore_multiplier=3`` and a short
+    detect window — plus the ``multiIf`` low/high label (``:68``) and the
+    multiplier echoed as a column (``:60``). Exercises
+    ``DetectorParams.with_()`` parameterization end-to-end."""
+    p = _P.with_(zscore_threshold=3.0, detect_window_seconds=86400)
+    ds = _events(sf_dir)
+    now = _now(sf_dir)
+    stats = anomaly.per_id_mean_std(ds, now, p.stats_window_minutes, exact_cents=True)
+    hi = anomaly._to_dt64(now)
+    lo = anomaly._cutoff(now, p.detect_window_seconds)
+    win = anomaly._window_filter(ds, lo, hi)
+    joined = broadcast_join(win, stats, on=["id"], how="inner")
+    m = p.zscore_threshold
+    schema = pa.schema(
+        [("id", pa.int64()), ("timestamp", pa.timestamp("us")),
+         ("value", pa.float64()), ("zscore", pa.float64()),
+         ("test", pa.string()), ("average", pa.float64()),
+         ("std_dev", pa.float64()), ("zscore_multiplier", pa.float64())]
+    )
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (df["value"] - df["average"]) / df["std_dev"]
+        keep = ((z < -m) | (z > m)) & (df["std_dev"] != 0)
+        out = df[keep][["id", "timestamp", "value"]].copy()
+        zk = z[keep]
+        out["zscore"] = _round2_halfup(zk)
+        out["test"] = np.where(zk < -m, "low", "high").astype(object)  # multiIf, :68
+        out["average"] = _round2_halfup(df["average"][keep])
+        out["std_dev"] = _round2_halfup(df["std_dev"][keep])
+        out["zscore_multiplier"] = float(m)
+        # explicit schema: hit sets are often empty per block, and a typed
+        # empty table keeps the result's columns stable
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+_SIMPLE_DWIN = f"ts > {_NOW} - INTERVAL 86400 SECOND"
+
+SQL_SIMPLE_Z_SCORE = f"""
+WITH cents AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE {_SWIN}
+), moments AS (
+  SELECT user_id, sum(c) AS sc, sum(c * c) AS ss, count(*) AS n
+  FROM cents GROUP BY user_id
+), stats AS (
+  SELECT user_id AS id,
+         (sc / n) / 100.0 AS average,
+         sqrt(greatest(ss / n - (sc / n) * (sc / n), 0.0)) / 100.0 AS std_dev
+  FROM moments
+), win AS (
+  SELECT user_id AS id, ts, value FROM events
+  WHERE {_SIMPLE_DWIN} AND ts <= {_NOW}
+)
+SELECT w.id AS id, w.ts AS timestamp, w.value AS value,
+       floor((w.value - s.average) / s.std_dev * 100 + 0.5) / 100 AS zscore,
+       CASE WHEN (w.value - s.average) / s.std_dev < -3 THEN 'low' ELSE 'high' END AS test,
+       floor(s.average * 100 + 0.5) / 100 AS average,
+       floor(s.std_dev * 100 + 0.5) / 100 AS std_dev,
+       3.0 AS zscore_multiplier
+FROM win w JOIN stats s ON w.id = s.id
+WHERE s.std_dev <> 0
+  AND ((w.value - s.average) / s.std_dev < -3
+   OR  (w.value - s.average) / s.std_dev > 3)
+"""
+
+
+_GET_ANOMALIES_HOURS = 72
+
+
+def q_get_anomalies(sf_dir: str):
+    """``get_anomalies.pipe:8-19``: the compiled anomaly log filtered to the
+    last N hours (``addHours(NOW(), -hours)``), optional sensor /
+    anomaly-type filters exposed as parameters (pytest covers them; the
+    driver query uses the windowed read)."""
+    return get_anomalies(sf_dir, hours=_GET_ANOMALIES_HOURS)
+
+
+def get_anomalies(sf_dir: str, hours: int = 24, sensor_id: int | None = None,
+                  anomaly_type: str | None = None):
+    log = q_copy_log(sf_dir)
+    lo = anomaly._cutoff(_now(sf_dir), hours * 3600)
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pa.compute.greater(t["timestamp"], pa.scalar(lo, pa.timestamp("us")))
+        if sensor_id is not None:
+            mask = pa.compute.and_(mask, pa.compute.equal(t["id"], pa.scalar(sensor_id)))
+        if anomaly_type is not None:
+            mask = pa.compute.and_(
+                mask, pa.compute.equal(t["anomaly_type"], pa.scalar(anomaly_type)))
+        return t.filter(mask)
+
+    return log.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GET_ANOMALIES = f"""
+WITH log AS ({SQL_COPY_LOG.strip()})
+SELECT id, timestamp, value, anomaly_type FROM log
+WHERE timestamp > {_NOW} - INTERVAL {_GET_ANOMALIES_HOURS * 3600} SECOND
+"""
+
+
 ANOMALY_QUERIES: dict[str, Callable[[str], Any]] = {
     "daily_stats": q_daily_stats,
     "top_values_per_sensor": q_top_values_per_sensor,
@@ -429,8 +542,10 @@ ANOMALY_QUERIES: dict[str, Callable[[str], Any]] = {
     "timeout": q_timeout,
     "rate_of_change": q_rate_of_change,
     "z_score": q_z_score,
+    "simple_z_score": q_simple_z_score,
     "iqr": q_iqr,
     "copy_log": q_copy_log,
+    "get_anomalies": q_get_anomalies,
     "most_recent": q_most_recent,
     "sensor_ids": q_sensor_ids_ds,
     "get_data": q_get_data,
@@ -446,8 +561,10 @@ ANOMALY_ORACLE: dict[str, str] = {
     "timeout": SQL_TIMEOUT,
     "rate_of_change": SQL_RATE_OF_CHANGE,
     "z_score": SQL_Z_SCORE,
+    "simple_z_score": SQL_SIMPLE_Z_SCORE,
     "iqr": SQL_IQR,
     "copy_log": SQL_COPY_LOG,
+    "get_anomalies": SQL_GET_ANOMALIES,
     "most_recent": SQL_MOST_RECENT,
     "sensor_ids": SQL_SENSOR_IDS,
     "get_data": SQL_GET_DATA,

@@ -29,7 +29,8 @@ import ray
 import ray.data
 
 from ..functions import text as T
-from ..stages.reduce import grouped_agg, latest_by_key
+from ..stages.join import _fetch
+from ..stages.reduce import grouped_agg, latest_by_key, to_arrow_single
 
 
 def _bucket_pairs(exploded: "ray.data.Dataset", bucket_keys: list[str],
@@ -148,10 +149,12 @@ def lsh_candidate_pairs(
     return cand.drop_duplicates(["a", "b"]).reset_index(drop=True)
 
 
-def _clusters_from_pairs(ids: list, pairs: pd.DataFrame) -> dict:
+def _clusters_from_pairs(pairs: pd.DataFrame) -> dict:
     """Union-find on the (small, verified) pair set — driver-side by design:
     candidate pairs after verification are ≪ corpus (ray_guide: union-find on
-    the driver only when the candidate set is provably small)."""
+    the driver only when the candidate set is provably small). Returns a map
+    covering ONLY docs that appear in some pair; every other doc is implicitly
+    its own cluster."""
     parent: dict = {}
 
     def find(x):
@@ -165,7 +168,60 @@ def _clusters_from_pairs(ids: list, pairs: pd.DataFrame) -> dict:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return {i: find(i) for i in ids if i in parent}
+    return {i: find(i) for i in list(parent)}
+
+
+def _assign_clusters(ds: "ray.data.Dataset", id_col: str,
+                     cluster_map: dict) -> "ray.data.Dataset":
+    """Distributed (id, cluster_id, keep) assignment. Only the cluster map —
+    docs that belong to some verified near-dup pair, ≪ corpus — is broadcast
+    (``ray.put`` once, fetched once per worker process); the full id column
+    never touches the driver and the result stays a streaming Dataset."""
+    ref = ray.put(cluster_map)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cl = _fetch(ref)
+        ids = t[id_col].to_pylist()
+        cluster = [cl.get(i, i) for i in ids]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster_id": pa.array(cluster, t[id_col].type),
+                "keep": pa.array([c == i for i, c in zip(ids, cluster)], pa.bool_()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def _candidate_shingles(
+    ds: "ray.data.Dataset", id_col: str, text_col: str,
+    cand_ids: set, shingle_k: int,
+) -> dict:
+    """Shingle sets for candidate docs ONLY, via a filtered distributed pass
+    (``is_in`` against the broadcast candidate-id set) — the corpus text never
+    reaches the driver; the gathered table is O(|candidates|)."""
+    id_arr = pa.array(list(cand_ids))
+
+    def shingles_of(t: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(t[id_col], value_set=id_arr)
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                "sh": pa.array(
+                    [T.word_shingles(x, shingle_k).tolist()
+                     for x in sub[text_col].to_pylist()],
+                    pa.list_(pa.uint64()),
+                ),
+            }
+        )
+
+    shing = to_arrow_single(
+        ds.map_batches(shingles_of, batch_format="pyarrow")
+    )
+    return {i: np.asarray(sh, dtype=np.uint64)
+            for i, sh in zip(shing[id_col].to_pylist(), shing["sh"].to_pylist())}
 
 
 def minhash_dedup(
@@ -176,46 +232,24 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-) -> pd.DataFrame:
-    """Full MinHash-LSH dedup: returns (id, cluster_id, keep) for every doc.
-    Verification recomputes exact Jaccard for candidate pairs from a broadcast
-    map of candidate shingle sets (candidates only — not the corpus)."""
+) -> "ray.data.Dataset":
+    """Full MinHash-LSH dedup: a Dataset of (id, cluster_id, keep) for every
+    doc. Verification recomputes exact Jaccard for candidate pairs from the
+    candidate-only shingle fetch (:func:`_candidate_shingles`); the cluster
+    assignment runs distributed against the broadcast (small) cluster map —
+    no full-corpus driver materialization anywhere."""
     cand = lsh_candidate_pairs(ds, id_col, text_col, num_perm, bands, shingle_k)
-    ids_ds = ds.select_columns([id_col])
-    all_ids = sorted(ids_ds.to_pandas()[id_col].tolist())
     if len(cand):
-        cand_ids = set(cand["a"]) | set(cand["b"])
-        # shingle sets for candidate docs only, via a filtered pass
-        id_arr = pa.array(list(cand_ids))
-
-        def shingles_of(t: pa.Table) -> pa.Table:
-            mask = pa.compute.is_in(t[id_col], value_set=id_arr)
-            sub = t.filter(mask)
-            return pa.table(
-                {
-                    id_col: sub[id_col],
-                    "sh": pa.array(
-                        [T.word_shingles(x, shingle_k).tolist()
-                         for x in sub[text_col].to_pylist()],
-                        pa.list_(pa.uint64()),
-                    ),
-                }
-            )
-
-        shing = ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
-        smap = {r[id_col]: np.asarray(r["sh"], dtype=np.uint64)
-                for _, r in shing.iterrows()}
+        smap = _candidate_shingles(
+            ds, id_col, text_col, set(cand["a"]) | set(cand["b"]), shingle_k
+        )
         jac = np.array(
             [T.jaccard(smap[a], smap[b]) for a, b in zip(cand["a"], cand["b"])]
         )
         verified = cand[jac >= threshold]
     else:
         verified = cand
-    cl = _clusters_from_pairs(all_ids, verified)
-    out = pd.DataFrame({id_col: all_ids})
-    out["cluster_id"] = [cl.get(i, i) for i in out[id_col]]
-    out["keep"] = out["cluster_id"] == out[id_col]
-    return out
+    return _assign_clusters(ds, id_col, _clusters_from_pairs(verified))
 
 
 # --------------------------------------------------------------------------
@@ -241,11 +275,18 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Near-dup clusters via SimHash banding: 4 bands of 16 bits — any pair
     within Hamming distance ≤3 shares at least one band exactly (pigeonhole);
-    verify candidates by true Hamming distance."""
-    tbl = simhash_table(ds, id_col, text_col)
+    verify candidates by true Hamming distance. Returns a Dataset of
+    (id, cluster_id, keep).
+
+    The (id, simhash) projection — 16 bytes/doc, the only thing derived from
+    text — is materialized ONCE in the object store (distributed, spillable)
+    and reused for the band explode, the candidate-only hash fetch, and the
+    cluster assignment, so the corpus text is hashed exactly once and never
+    reaches the driver."""
+    tbl = simhash_table(ds, id_col, text_col).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
@@ -264,20 +305,22 @@ def simhash_dedup(
     cand = _bucket_pairs(
         tbl.map_batches(explode, batch_format="pyarrow"), ["band", "key"], id_col
     ).drop_duplicates(["a", "b"])
-    hmap = dict(zip(tbl.to_pandas()[id_col], tbl.to_pandas()["simhash"]))
-    all_ids = sorted(hmap)
     if len(cand):
-        hd = np.array([T.hamming64(np.uint64(hmap[a]).item() & (2**64 - 1),
-                                   np.uint64(hmap[b]).item() & (2**64 - 1))
+        cand_arr = pa.array(list(set(cand["a"]) | set(cand["b"])))
+        sub = to_arrow_single(
+            tbl.map_batches(
+                lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=cand_arr)),
+                batch_format="pyarrow",
+            )
+        )
+        hmap = dict(zip(sub[id_col].to_pylist(), sub["simhash"].to_pylist()))
+        mask64 = (1 << 64) - 1
+        hd = np.array([T.hamming64(hmap[a] & mask64, hmap[b] & mask64)
                        for a, b in zip(cand["a"], cand["b"])])
         verified = cand[hd <= max_hamming]
     else:
         verified = cand
-    cl = _clusters_from_pairs(all_ids, verified)
-    out = pd.DataFrame({id_col: all_ids})
-    out["cluster_id"] = [cl.get(i, i) for i in out[id_col]]
-    out["keep"] = out["cluster_id"] == out[id_col]
-    return out
+    return _assign_clusters(tbl, id_col, _clusters_from_pairs(verified))
 
 
 def ngram_jaccard_pairs(
@@ -289,13 +332,15 @@ def ngram_jaccard_pairs(
     **lsh_kwargs,
 ) -> pd.DataFrame:
     """(a, b, jaccard) for pairs with exact word-n-gram Jaccard ≥ threshold,
-    candidate-pruned by MinHash-LSH (the scale path — no O(n²) scan)."""
+    candidate-pruned by MinHash-LSH (the scale path — no O(n²) scan). Shingle
+    sets are fetched for candidate docs only (:func:`_candidate_shingles`);
+    the returned pair list is small by construction."""
     cand = lsh_candidate_pairs(ds, id_col, text_col, shingle_k=shingle_k, **lsh_kwargs)
     if not len(cand):
         return pd.DataFrame(columns=["a", "b", "jaccard"])
-    texts = ds.select_columns([id_col, text_col]).to_pandas()
-    smap = {r[id_col]: T.word_shingles(r[text_col], shingle_k)
-            for _, r in texts.iterrows()}
+    smap = _candidate_shingles(
+        ds, id_col, text_col, set(cand["a"]) | set(cand["b"]), shingle_k
+    )
     jac = np.array([T.jaccard(smap[a], smap[b]) for a, b in zip(cand["a"], cand["b"])])
     out = cand.assign(jaccard=jac)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)

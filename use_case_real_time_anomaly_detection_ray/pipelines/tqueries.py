@@ -1,8 +1,9 @@
 """Training-data operator queries over ``documents`` / ``embeddings`` with
 DuckDB oracles where SQL can express the semantics; the sketch-based ops
-(MinHash-LSH, SimHash, fingerprints, language ID, LSH-ANN) are exposed as
-rows-only queries (the driver records the weaker check; their correctness is
-pinned by unit tests against exact oracles instead)."""
+(MinHash-LSH, SimHash, fingerprints, LSH-ANN) are exposed as rows-only
+queries (the driver records the weaker check; their correctness is pinned by
+unit tests against exact oracles instead). Language ID is fully
+oracle-paired — ``SQL_DOC_LANG_ID`` transcribes the heuristic."""
 
 from __future__ import annotations
 
@@ -12,11 +13,15 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.text import STOPWORDS
+from ..functions.text import _LANG_MARKERS, STOPWORDS
 from ..sources.readers import read_table
 from . import ann, textops
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + "]"
 
 
 def _docs(sf_dir: str):
@@ -154,6 +159,60 @@ def q_doc_lang_id(sf_dir: str):
     return textops.lang_id_table(_docs(sf_dir))
 
 
+# SQL transcription of functions.text.lang_id: CJK short-circuit, then argmax
+# marker hit rate over the first 2000 lowercased whitespace words with
+# first-in-order tie-break (en > de > es > fr); score = floor(x*1e4+0.5)/1e4,
+# the identical double expression the engine evaluates.
+_WIN_EN = "s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr"
+_WIN_DE = "s_de > 0 AND s_de >  s_en AND s_de >= s_es AND s_de >= s_fr"
+_WIN_ES = "s_es > 0 AND s_es >  s_en AND s_es >  s_de AND s_es >= s_fr"
+_WIN_FR = "s_fr > 0 AND s_fr >  s_en AND s_fr >  s_de AND s_fr >  s_es"
+
+SQL_DOC_LANG_ID = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(substring(text, 1, 4000), '[一-鿿]')) AS cjk,
+         least(length(text), 4000) AS head_len,
+         list_transform(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 2000),
+                        x -> lower(x)) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, cjk, head_len, len(w) AS nw,
+         len(list_filter(w, x -> list_contains({_markers_sql('en')}, x))) AS c_en,
+         len(list_filter(w, x -> list_contains({_markers_sql('de')}, x))) AS c_de,
+         len(list_filter(w, x -> list_contains({_markers_sql('es')}, x))) AS c_es,
+         len(list_filter(w, x -> list_contains({_markers_sql('fr')}, x))) AS c_fr
+  FROM f
+), sc AS (
+  SELECT doc_id, cjk, head_len,
+         CASE WHEN nw = 0 THEN 0.0 ELSE c_en / CAST(nw AS DOUBLE) END AS s_en,
+         CASE WHEN nw = 0 THEN 0.0 ELSE c_de / CAST(nw AS DOUBLE) END AS s_de,
+         CASE WHEN nw = 0 THEN 0.0 ELSE c_es / CAST(nw AS DOUBLE) END AS s_es,
+         CASE WHEN nw = 0 THEN 0.0 ELSE c_fr / CAST(nw AS DOUBLE) END AS s_fr
+  FROM c
+)
+SELECT doc_id,
+  CASE
+    WHEN head_len > 0 AND cjk > 0.05 * head_len THEN 'zh'
+    WHEN {_WIN_EN} THEN 'en'
+    WHEN {_WIN_DE} THEN 'de'
+    WHEN {_WIN_ES} THEN 'es'
+    WHEN {_WIN_FR} THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred,
+  CASE
+    WHEN head_len > 0 AND cjk > 0.05 * head_len
+      THEN floor(cjk / CAST(head_len AS DOUBLE) * 10000 + 0.5) / 10000
+    WHEN {_WIN_EN} THEN floor(s_en * 10000 + 0.5) / 10000
+    WHEN {_WIN_DE} THEN floor(s_de * 10000 + 0.5) / 10000
+    WHEN {_WIN_ES} THEN floor(s_es * 10000 + 0.5) / 10000
+    WHEN {_WIN_FR} THEN floor(s_fr * 10000 + 0.5) / 10000
+    ELSE 0.0
+  END AS lang_score
+FROM sc
+"""
+
+
 def q_doc_fingerprints(sf_dir: str):
     return textops.fingerprint_table(_docs(sf_dir))
 
@@ -190,5 +249,6 @@ TEXT_ORACLE = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_quality": SQL_DOC_QUALITY,
+    "doc_lang_id": SQL_DOC_LANG_ID,
     "ann_topk": SQL_ANN_TOPK,
 }

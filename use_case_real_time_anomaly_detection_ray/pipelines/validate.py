@@ -254,10 +254,15 @@ def lang_gate_violations(lang_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.
         rows["note"].append(f"lang:{lang} | {note}")
         rows["sha256"].append("")
 
+    # every language's series is reindexed over ALL observed parts with freq=0
+    # fill: total disappearance of a language from a part (the histogram
+    # analog of a timeout) must be scoreable, and the mean/quantile baselines
+    # must cover absent parts too (ADVICE r1)
+    all_parts = np.asarray(sorted(totals.index), dtype="int64")
     for lang, g in df.groupby("lang", sort=True):
-        g = g.sort_values("part", kind="mergesort")
-        f = g["freq"].to_numpy(dtype="float64")
-        parts_arr = g["part"].to_numpy(dtype="int64")
+        fmap = dict(zip(g["part"].astype("int64"), g["freq"].astype("float64")))
+        parts_arr = all_parts
+        f = np.array([fmap.get(int(p), 0.0) for p in parts_arr], dtype="float64")
         avg = float(f.mean())
         std = float(np.sqrt(np.maximum((f * f).mean() - avg * avg, 0.0)))
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -294,60 +299,107 @@ def finish_moments(agg: pd.DataFrame) -> pd.DataFrame:
 # Phase 2 — key-only corpus scan: uniqueness + referential
 # ---------------------------------------------------------------------------
 
+#: Partial-row threshold above which the duplicate-hash merge routes through
+#: the bucketed int-key shuffle (``stages.reduce.bucketed_merge``) instead of
+#: a driver-side pandas groupby. At 10^12 keys the partials are O(distinct
+#: keys × blocks-touched) and would OOM the driver otherwise.
+UNIQ_BUCKETED_ABOVE = 5_000_000
+
+_UNIQ_KEYS = ["repo", "path", "commit"]
+
+
+def _triple_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Vectorized 64-bit hash of the full key tuple per row. Hashing the FULL
+    triple (not one column) keeps the prefilter selective even when one key
+    component (e.g. a commit sha spanning many files) repeats across rows —
+    a single-column prefilter would fetch essentially the whole key set
+    (ADVICE r1). Collisions only cost extra verify work, never wrong output."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in keys:
+        h = h * np.uint64(1000003) + pd.util.hash_array(
+            np.asarray(t[c].to_pandas())
+        ).astype(np.uint64)
+    return h
+
+
 def uniqueness_violations(
     corpus_dir: str, cfg: ValidationConfig
 ) -> "ray.data.Dataset":
     """Duplicate (repo, path, commit) keys — the dedup-key machinery of
     ``dedup_log.pipe:6`` turned into a constraint (SURVEY.md §2.7 D4).
-    Column-pruned read (keys only, never content); per-block pre-count, then a
-    keyed merge. Violation value = duplicate count."""
+    Column-pruned read (keys only, never content); hash-condense + pre-count
+    per block, then a keyed merge. Violation value = duplicate count."""
     files = [f for frags in discover_parts(corpus_dir).values() for f in frags]
-    keys = ["repo", "path", "commit"]
-
-    # Hash-condense then verify (two cheap passes, no wide-row shuffle):
-    #  1. per block, reduce each key to a 64-bit hash and pre-count → 16-byte
-    #     (hash, n, part) partials instead of ~100-byte string triples;
-    #  2. find hashes with global count > 1 (driver merge below ~50M partial
-    #     rows — np.unique on ints; the bucketed int-key shuffle merge is the
-    #     >50M path, same partials);
-    #  3. a second column-pruned scan filtered by the (tiny) duplicate-hash
-    #     set fetches the actual key strings, and an exact per-key recount
-    #     eliminates 64-bit hash collisions (at 10^12 keys, step 2 would use
-    #     the 128-bit variant; collisions only cost extra verify work, never
-    #     wrong output).
-    pre = ray.data.read_parquet(files, columns=["commit", "part"])
-    ds = ray.data.read_parquet(files, columns=keys + ["part"])
+    cols = _UNIQ_KEYS + ["part"]
+    pre = ray.data.read_parquet(files, columns=cols)
+    ds = ray.data.read_parquet(files, columns=cols)
     return _uniqueness_from_datasets(pre, ds)
 
 
 def _uniqueness_from_datasets(
-    pre: "ray.data.Dataset", ds: "ray.data.Dataset"
+    pre: "ray.data.Dataset", ds: "ray.data.Dataset",
+    bucketed_above: int = UNIQ_BUCKETED_ABOVE,
 ) -> "ray.data.Dataset":
     """Core of the uniqueness check over pre-built datasets.
 
-    Prefilter key: the commit column alone (any duplicate triple implies a
-    duplicate commit; a duplicate commit with distinct repo/path is a false
-    positive that the exact verify below discards) — all C++ kernels, and
-    the first pass reads only (commit, part)."""
-    keys = ["repo", "path", "commit"]
+    Hash-condense then verify (two cheap passes, no wide-row shuffle):
+     1. per block, reduce each (repo, path, commit) triple to a 64-bit hash
+        and pre-count → 16-byte (hash, n, part) partials instead of ~100-byte
+        string triples;
+     2. find hashes with global count > 1 — driver pandas groupby below
+        ``bucketed_above`` partial rows, the bucketed int-key shuffle merge
+        (``stages.reduce.bucketed_merge``) above it; only the (tiny)
+        duplicate-hash set ever reaches the driver on the bucketed path;
+     3. a second column-pruned scan filtered by the duplicate-hash set fetches
+        the actual key strings, and an exact per-key recount eliminates 64-bit
+        hash collisions (at 10^12 keys step 2 would use the 128-bit variant;
+        collisions only cost extra verify work, never wrong output)."""
+    keys = _UNIQ_KEYS
 
-    def commit_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["commit"]).aggregate([("part", "count"), ("part", "min")])
-        return g.rename_columns(["commit", "n", "part"])
+    def hash_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        df = pd.DataFrame({"h": _triple_hash(t, keys),
+                           "part": t["part"].to_numpy()})
+        g = df.groupby("h", sort=False).agg(
+            n=("part", "size"), part=("part", "min")
+        ).reset_index()
+        return pa.table({"h": pa.array(g["h"].to_numpy(), pa.uint64()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                         "part": pa.array(g["part"].to_numpy().astype("int64"))})
 
-    partials = to_arrow_single(
-        pre.map_batches(commit_partial, batch_format="pyarrow", batch_size=None)
-    )
-    agg = partials.group_by(["commit"]).aggregate([("n", "sum"), ("part", "min")])
-    agg = agg.rename_columns(["commit", "n", "part"])
-    dup = agg.filter(pc.greater(agg["n"], 1))
-    if dup.num_rows == 0:
+    partials = pre.map_batches(hash_partial, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    n_partials = partials.count()
+
+    def merge_dups(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("h", sort=False).agg(
+            n=("n", "sum"), part=("part", "min")
+        ).reset_index()
+        return a[a["n"] > 1]
+
+    if n_partials > bucketed_above:
+        # scale path: partials shuffle by hash-bucket of the int key; the
+        # driver sees only confirmed-duplicate hashes
+        from ..stages.reduce import bucketed_merge
+
+        dup_df = to_arrow_single(
+            bucketed_merge(partials, ["h"], merge_dups)
+        ).to_pandas()
+    else:
+        dup_df = merge_dups(to_arrow_single(partials).to_pandas())
+    if len(dup_df) == 0:
         return ray.data.from_arrow(_viol_table({c: [] for c in VIOLATION_COLS}))
 
-    dup_commits = dup["commit"].combine_chunks()
+    dup_hashes = pa.array(dup_df["h"].to_numpy().astype("uint64"), pa.uint64())
 
     def fetch_candidates(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["commit"], value_set=dup_commits))
+        if t.num_rows == 0:
+            return t
+        h = pa.array(_triple_hash(t, keys), pa.uint64())
+        return t.filter(pc.is_in(h, value_set=dup_hashes))
 
     cand = to_arrow_single(
         ds.map_batches(fetch_candidates, batch_format="pyarrow", batch_size=None)
@@ -562,10 +614,9 @@ def run(
     # fsspec imports are not thread-safe on first touch); only execution runs
     # in the background thread
     uniq_files = [f for frags in parts.values() for f in frags]
-    uniq_pre = ray.data.read_parquet(uniq_files, columns=["commit", "part"])
-    uniq_keys_ds = ray.data.read_parquet(
-        uniq_files, columns=["repo", "path", "commit", "part"]
-    )
+    uniq_cols = _UNIQ_KEYS + ["part"]
+    uniq_pre = ray.data.read_parquet(uniq_files, columns=uniq_cols)
+    uniq_keys_ds = ray.data.read_parquet(uniq_files, columns=uniq_cols)
 
     uniq_result: dict[str, Any] = {}
 

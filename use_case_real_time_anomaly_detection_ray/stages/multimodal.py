@@ -161,9 +161,18 @@ class FrameSampleStage:
                          "frame_index": pa.array(frames, pa.int32())})
 
 
+#: Fixed-size actor pools, NOT an autoscaling ``(1, N)`` pool: a pool that
+#: starts at 1 actor never catches up on a seconds-long stage (measured
+#: 0.51→1.03 scaling efficiency going autoscale→fixed, BENCH/BASELINE.md).
+#: Size the pool to the cluster when calling (e.g. nodes × cores / num_cpus);
+#: the default fits the 4-CPU test session while leaving CPUs for the
+#: upstream read (a pool == session CPUs starves the reads and deadlocks).
+_DEFAULT_POOL = 2
+
+
 def decode_features(
     ds: "ray.data.Dataset",
-    concurrency=(1, 64),
+    concurrency: int = _DEFAULT_POOL,
     batch_size: int = 64,  # small: payload rows are fat
 ) -> "ray.data.Dataset":
     return ds.map_batches(
@@ -175,7 +184,7 @@ def decode_features(
 def resize_features(
     ds: "ray.data.Dataset",
     target: int = 16,
-    concurrency=(1, 64),
+    concurrency: int = _DEFAULT_POOL,
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
@@ -184,8 +193,9 @@ def resize_features(
     )
 
 
-def sample_frames(ds: "ray.data.Dataset", every_k: int = 2) -> "ray.data.Dataset":
+def sample_frames(ds: "ray.data.Dataset", every_k: int = 2,
+                  concurrency: int = _DEFAULT_POOL) -> "ray.data.Dataset":
     return ds.map_batches(
         FrameSampleStage, fn_constructor_args=(every_k,), batch_format="pyarrow",
-        concurrency=(1, 64), batch_size=256,
+        concurrency=concurrency, batch_size=256,
     )

@@ -26,8 +26,10 @@ _BUCKET = "__bucket"
 
 
 def _pd_to_arrow(df: pd.DataFrame) -> pa.Table:
-    """All stages emit Arrow blocks so unions/iteration never mix block types."""
-    return pa.Table.from_pandas(df, preserve_index=False)
+    """All stages emit Arrow blocks so unions/iteration never mix block types.
+    The pandas schema metadata (a dict) is stripped — it is unhashable and
+    makes Ray's block-schema dedup log a warning per block."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def _hash_keys(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np.ndarray:
@@ -190,9 +192,20 @@ def to_arrow_single(ds: "ray.data.Dataset") -> pa.Table:
     import ray as _ray
 
     tabs = _ray.get(ds.to_arrow_refs())
-    if not tabs:
-        return pa.table({})
+    # some ops (e.g. groupby aggregates) emit pandas blocks; normalize
+    tabs = [t if isinstance(t, pa.Table) else _pd_to_arrow(t) for t in tabs]
     non_empty = [t for t in tabs if t.num_rows > 0]
-    if not non_empty:
-        return tabs[0]
-    return pa.concat_tables(non_empty, promote_options="default").combine_chunks()
+    if non_empty:
+        return pa.concat_tables(non_empty, promote_options="default").combine_chunks()
+    # fully-filtered pipelines yield zero blocks or column-less placeholder
+    # tables — recover the schema so empty results keep their columns
+    with_cols = [t for t in tabs if t.num_columns > 0]
+    if with_cols:
+        return with_cols[0]
+    try:
+        base = getattr(ds.schema(), "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.empty_table()
+    except Exception:
+        pass
+    return pa.table({})
