@@ -228,7 +228,7 @@ def run_bench_compute() -> dict:
     )
     n_docs = ds.count()
     t0 = time.perf_counter()
-    out = textops.minhash_dedup(ds, threshold=0.7)
+    out = textops.minhash_dedup(ds, threshold=0.7).to_pandas()  # consume the Dataset
     dt = time.perf_counter() - t0
     ray.shutdown()
     return {

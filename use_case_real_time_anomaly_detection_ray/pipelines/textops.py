@@ -19,7 +19,6 @@ Execution shapes (ray_guide 'Aggregation at scale' patterns):
 from __future__ import annotations
 
 import hashlib
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
@@ -106,24 +105,26 @@ def minhash_explode(batch: pa.Table, id_col: str, text_col: str, num_perm: int,
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     hasher = _hasher(num_perm)
-    ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     shingles = [T.word_shingles(t, shingle_k) for t in texts]
-    sigs = hasher.signatures(shingles)
-    out_id, out_band, out_hash = [], [], []
-    for i, doc in enumerate(ids):
-        sig = sigs[i]
-        for b in range(bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out_id.append(doc)
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "big") >> 1)  # fit int64
+    sigs = hasher.signatures(shingles)  # (n, num_perm) uint64
+    n = len(texts)
+    # band hash = FNV-style polynomial fold of the band's signature chunk,
+    # fully vectorized (uint64 wraparound multiply is a fine mixer here —
+    # buckets only ever test EQUALITY of band signatures)
+    r = sigs.reshape(n, bands, rows_per_band)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            bh = bh * prime + r[:, :, j]
+    idx = np.repeat(np.arange(n), bands)
     return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            id_col: pa.array(out_id),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array((bh >> np.uint64(1)).astype(np.int64).ravel(),
+                                  pa.int64()),
+            id_col: batch[id_col].take(pa.array(idx)),
         }
     )
 
@@ -289,18 +290,15 @@ def simhash_dedup(
     tbl = simhash_table(ds, id_col, text_col).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        hs = t["simhash"].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, h in zip(ids, hs):
-            u = np.uint64(h)
-            for b in range(4):
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "key": pa.array(out_key, pa.int32()),
-                         id_col: pa.array(out_id)})
+        n = t.num_rows
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        idx = np.repeat(np.arange(n), 4)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = ((h[idx] >> (np.uint64(16) * bands.astype(np.uint64)))
+                & np.uint64(0xFFFF)).astype(np.int32)
+        return pa.table({"band": pa.array(bands, pa.int32()),
+                         "key": pa.array(keys, pa.int32()),
+                         id_col: t[id_col].take(pa.array(idx))})
 
     cand = _bucket_pairs(
         tbl.map_batches(explode, batch_format="pyarrow"), ["band", "key"], id_col

@@ -226,8 +226,26 @@ def q_ann_lsh_topk(sf_dir: str):
 
 def q_emb_near_dup_pairs(sf_dir: str):
     # test-table embeddings are near-orthogonal (max pairwise cosine ≈0.51);
-    # 0.4 keeps the result non-empty so the rows-only check exercises real rows
-    return ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4)
+    # 0.4 keeps the result non-empty so the check exercises real rows
+    out = ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4).copy()
+    # shared half-up rounding at 1e-6 absorbs accumulation-order ulps
+    # between the numpy matmul and the SQL engine's sequential dot product
+    out["cosine"] = np.floor(out["cosine"] * 1e6 + 0.5) / 1e6
+    return out
+
+
+# exact all-pairs oracle — the engine's block-pair scan is exact too, so the
+# outputs must agree row-for-row (the distributed structure is the only
+# difference)
+SQL_EMB_NEAR_DUP_PAIRS = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       floor(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])) * 1000000 + 0.5)
+         / 1000000 AS cosine
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.4
+"""
 
 
 TEXT_QUERIES = {
@@ -251,4 +269,5 @@ TEXT_ORACLE = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "ann_topk": SQL_ANN_TOPK,
+    "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
 }

@@ -313,13 +313,23 @@ def _triple_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
     triple (not one column) keeps the prefilter selective even when one key
     component (e.g. a commit sha spanning many files) repeats across rows —
     a single-column prefilter would fetch essentially the whole key set
-    (ADVICE r1). Collisions only cost extra verify work, never wrong output."""
-    h = np.zeros(t.num_rows, dtype=np.uint64)
-    for c in keys:
-        h = h * np.uint64(1000003) + pd.util.hash_array(
-            np.asarray(t[c].to_pandas())
-        ).astype(np.uint64)
-    return h
+    (ADVICE r1). Collisions only cost extra verify work, never wrong output.
+
+    Fast path: polars ``hash_rows`` — Rust row hashing zero-copy from Arrow
+    (the pandas path materializes every key as a Python string and hashes
+    object-by-object, ~10× slower at corpus scale). Hashes only need to be
+    consistent within one run (all workers share the polars version)."""
+    try:
+        import polars as pl
+
+        return pl.from_arrow(t.select(keys)).hash_rows(seed=0).to_numpy()
+    except Exception:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in keys:
+            h = h * np.uint64(1000003) + pd.util.hash_array(
+                np.asarray(t[c].to_pandas())
+            ).astype(np.uint64)
+        return h
 
 
 def uniqueness_violations(
@@ -331,8 +341,10 @@ def uniqueness_violations(
     per block, then a keyed merge. Violation value = duplicate count."""
     files = [f for frags in discover_parts(corpus_dir).values() for f in frags]
     cols = _UNIQ_KEYS + ["part"]
-    pre = ray.data.read_parquet(files, columns=cols)
-    ds = ray.data.read_parquet(files, columns=cols)
+    # one block per file → the read fuses with the hash/filter stage, so raw
+    # key strings never enter the object store (only 16-byte hash partials do)
+    pre = ray.data.read_parquet(files, columns=cols, override_num_blocks=len(files))
+    ds = ray.data.read_parquet(files, columns=cols, override_num_blocks=len(files))
     return _uniqueness_from_datasets(pre, ds)
 
 
@@ -615,8 +627,12 @@ def run(
     # in the background thread
     uniq_files = [f for frags in parts.values() for f in frags]
     uniq_cols = _UNIQ_KEYS + ["part"]
-    uniq_pre = ray.data.read_parquet(uniq_files, columns=uniq_cols)
-    uniq_keys_ds = ray.data.read_parquet(uniq_files, columns=uniq_cols)
+    # one block per file → read fuses with the hash/filter stages (raw key
+    # strings never hit the object store)
+    uniq_pre = ray.data.read_parquet(uniq_files, columns=uniq_cols,
+                                     override_num_blocks=len(uniq_files))
+    uniq_keys_ds = ray.data.read_parquet(uniq_files, columns=uniq_cols,
+                                         override_num_blocks=len(uniq_files))
 
     uniq_result: dict[str, Any] = {}
 
