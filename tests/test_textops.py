@@ -214,3 +214,28 @@ def test_ann_tails_never_materialize_corpus(ray_session, monkeypatch):
     monkeypatch.undo()
     assert len(out) and out.iloc[0]["vec_id"] == 0
     assert isinstance(pairs, pd.DataFrame)
+
+
+def test_propagate_clusters_matches_union_find(ray_session):
+    """Distributed label propagation == driver union-find on random graphs."""
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        n = 80
+        m = int(rng.integers(20, 120))
+        pairs = pd.DataFrame({"a": rng.integers(0, n, m), "b": rng.integers(0, n, m)})
+        pairs = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
+        labels = textops.propagate_clusters(pairs).to_pandas()
+        want = textops._clusters_from_pairs(pairs)
+        got = dict(zip(labels["node"], labels["label"]))
+        assert got == want, trial
+
+
+def test_dedup_distributed_cluster_path_equal(corpus):
+    """Forcing the label-propagation path (threshold 0) reproduces exactly
+    the broadcast union-find assignment."""
+    df, _d, _e = corpus
+    a = (textops.minhash_dedup(_ds(df), threshold=0.6)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (textops.minhash_dedup(_ds(df), threshold=0.6, distributed_cluster_above=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -172,6 +172,141 @@ def _clusters_from_pairs(pairs: pd.DataFrame) -> dict:
     return {i: find(i) for i in list(parent)}
 
 
+#: Verified-pair count above which clustering switches from the driver-side
+#: union-find + broadcast map to the fully distributed label-propagation
+#: path. Pairs below this fit trivially on the driver (a few hundred MB);
+#: above it the cluster assignment must itself be a Dataset.
+CLUSTER_DISTRIBUTED_ABOVE = 2_000_000
+
+
+def propagate_clusters(pairs: pd.DataFrame | "ray.data.Dataset",
+                       num_buckets: int = 16,
+                       max_iter: int = 50) -> "ray.data.Dataset":
+    """Distributed connected components over an (a, b) pair set via
+    min-label propagation, expressed JOIN-FREE: each round unions the edge
+    stream (key=u, val=v) with the label stream (key=node, val=label),
+    buckets by key hash (edges and the key's label land in the same group),
+    and emits min-label messages to neighbors; a bucketed group-min per node
+    closes the round. Two int-only bucketed shuffles per round, converging in
+    O(component diameter) rounds — near-dup clusters are tiny and dense, so
+    2-3 rounds in practice. Returns a Dataset of (node, label) covering every
+    node that appears in a pair.
+
+    Convergence is detected from ``sum(labels)``: labels only ever decrease,
+    so a stable sum (one tiny aggregate per round) means a fixed point."""
+    import ray.data as rd
+
+    from ..stages.reduce import bucketed_merge
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_arrow(
+            pa.table({"a": pa.array(pairs["a"], pa.int64()),
+                      "b": pa.array(pairs["b"], pa.int64())})
+        )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
+                              t["b"].combine_chunks().cast(pa.int64())])
+        v = pa.concat_arrays([t["b"].combine_chunks().cast(pa.int64()),
+                              t["a"].combine_chunks().cast(pa.int64())])
+        kind = pa.nulls(len(u), pa.int8()).fill_null(0)
+        return pa.table({"key": u, "val": v, "kind": kind})
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["key"].drop_duplicates()
+        return pd.DataFrame({"node": u.to_numpy()})
+
+    def init_merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["node"].drop_duplicates().to_numpy()
+        return pd.DataFrame({"node": u, "label": u})
+
+    labels = grouped_agg(sym, ["node"], init_partial, init_merge,
+                         num_buckets=num_buckets).materialize()
+
+    def _label_sum(lab) -> int:
+        tot = 0
+        for t in ray.get(lab.to_arrow_refs()):
+            if not isinstance(t, pa.Table):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows:
+                tot += pa.compute.sum(t["label"]).as_py()
+        return tot
+
+    def to_stream(t: pa.Table) -> pa.Table:
+        kind = pa.nulls(t.num_rows, pa.int8()).fill_null(1)
+        return pa.table({"key": t["node"].combine_chunks().cast(pa.int64()),
+                         "val": t["label"].combine_chunks().cast(pa.int64()),
+                         "kind": kind})
+
+    def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
+        labm = g[g["kind"] == 1].groupby("key")["val"].min()
+        ed = g[g["kind"] == 0]
+        out_node = np.concatenate([ed["val"].to_numpy(dtype="int64"),
+                                   labm.index.to_numpy(dtype="int64")])
+        out_label = np.concatenate([ed["key"].map(labm).to_numpy(dtype="int64"),
+                                    labm.to_numpy(dtype="int64")])
+        return pd.DataFrame({"node": out_node, "label": out_label})
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", sort=False)["label"].min().reset_index()
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        stream = sym.union(
+            labels.map_batches(to_stream, batch_format="pyarrow")
+        )
+        cand = bucketed_merge(stream, ["key"], emit_messages, num_buckets)
+        labels = grouped_agg(cand, ["node"], min_partial, min_partial,
+                             num_buckets=num_buckets).materialize()
+        cur = _label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def _assign_clusters_distributed(
+    ds: "ray.data.Dataset", id_col: str, labels: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Scale-path (id, cluster_id, keep) assignment, join-free: union the id
+    stream with the propagated label stream, bucket by key hash, and fill
+    each id's cluster from its (co-located) label row — ids in no pair keep
+    themselves. Everything stays distributed; nothing proportional to the
+    corpus touches the driver."""
+    from ..stages.reduce import bucketed_merge
+
+    def ids_stream(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        return pa.table({"key": ids,
+                         "val": ids,
+                         "kind": pa.nulls(len(ids), pa.int8()).fill_null(0)})
+
+    def lab_stream(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"].combine_chunks().cast(pa.int64()),
+                         "val": t["label"].combine_chunks().cast(pa.int64()),
+                         "kind": pa.nulls(t.num_rows, pa.int8()).fill_null(1)})
+
+    stream = ds.select_columns([id_col]).map_batches(
+        ids_stream, batch_format="pyarrow"
+    ).union(labels.map_batches(lab_stream, batch_format="pyarrow"))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        labm = g[g["kind"] == 1].groupby("key")["val"].min()
+        ids = g[g["kind"] == 0]["key"]
+        cluster = ids.map(labm).fillna(ids).astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: ids.to_numpy(dtype="int64"),
+                "cluster_id": cluster.to_numpy(),
+                "keep": ids.to_numpy(dtype="int64") == cluster.to_numpy(),
+            }
+        )
+
+    return bucketed_merge(stream, ["key"], assign)
+
+
 def _assign_clusters(ds: "ray.data.Dataset", id_col: str,
                      cluster_map: dict) -> "ray.data.Dataset":
     """Distributed (id, cluster_id, keep) assignment. Only the cluster map —
@@ -233,12 +368,15 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    distributed_cluster_above: int = CLUSTER_DISTRIBUTED_ABOVE,
 ) -> "ray.data.Dataset":
     """Full MinHash-LSH dedup: a Dataset of (id, cluster_id, keep) for every
     doc. Verification recomputes exact Jaccard for candidate pairs from the
-    candidate-only shingle fetch (:func:`_candidate_shingles`); the cluster
-    assignment runs distributed against the broadcast (small) cluster map —
-    no full-corpus driver materialization anywhere."""
+    candidate-only shingle fetch (:func:`_candidate_shingles`); clustering is
+    driver union-find + broadcast map for small verified-pair sets, and
+    fully distributed label propagation (:func:`propagate_clusters`) above
+    ``distributed_cluster_above`` pairs — no full-corpus driver
+    materialization on either path."""
     cand = lsh_candidate_pairs(ds, id_col, text_col, num_perm, bands, shingle_k)
     if len(cand):
         smap = _candidate_shingles(
@@ -250,6 +388,8 @@ def minhash_dedup(
         verified = cand[jac >= threshold]
     else:
         verified = cand
+    if len(verified) > distributed_cluster_above:
+        return _assign_clusters_distributed(ds, id_col, propagate_clusters(verified))
     return _assign_clusters(ds, id_col, _clusters_from_pairs(verified))
 
 
@@ -276,6 +416,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    distributed_cluster_above: int = CLUSTER_DISTRIBUTED_ABOVE,
 ) -> "ray.data.Dataset":
     """Near-dup clusters via SimHash banding: 4 bands of 16 bits — any pair
     within Hamming distance ≤3 shares at least one band exactly (pigeonhole);
@@ -318,6 +459,8 @@ def simhash_dedup(
         verified = cand[hd <= max_hamming]
     else:
         verified = cand
+    if len(verified) > distributed_cluster_above:
+        return _assign_clusters_distributed(tbl, id_col, propagate_clusters(verified))
     return _assign_clusters(tbl, id_col, _clusters_from_pairs(verified))
 
 

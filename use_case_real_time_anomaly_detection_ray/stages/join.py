@@ -129,18 +129,26 @@ def bucketed_join(
     on: Sequence[str],
     num_buckets: int = 64,
     how: str = "inner",
+    prefer_native: bool = True,
 ) -> "ray.data.Dataset":
     """Explicit partitioned hash join: both sides get ``hash(on) % B`` and are
     co-grouped per bucket; the pairwise merge happens inside ``map_groups``.
     Used only when BOTH sides are large (the reference never needs this; the
     training-data ops do). Prefers ``Dataset.join`` when this Ray version has
-    it."""
+    it — pass ``prefer_native=False`` for small/iterative joins: the native
+    hash-shuffle join spins up ``num_partitions`` aggregator actors, which
+    starves small CPU budgets and swamps per-iteration latency."""
     on = list(on)
-    if hasattr(left, "join"):
+    if prefer_native and hasattr(left, "join"):
         try:
             return left.join(right, join_type=how, num_partitions=num_buckets, on=tuple(on))
         except Exception:
             pass  # fall back to the explicit bucketed implementation
+    # explicit column lists (from the schemas, fetched once) — a bucket whose
+    # rows come from only ONE side must still produce the full joined schema
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    r_extra = [c for c in rcols if c not in on]
     lb = add_hash_bucket(left, on, num_buckets)
     rb = add_hash_bucket(right, on, num_buckets)
     rb = rb.map_batches(
@@ -153,11 +161,12 @@ def bucketed_join(
     both = tagged_l.union(tagged_r)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        lg = lg[[c for c in lg.columns if not c.startswith("__r_")]]
-        rg = rg[on + [c for c in rg.columns if c.startswith("__r_")]]
-        rg = rg.rename(columns={c: c[4:] for c in rg.columns if c.startswith("__r_")})
+        for c in lcols + [f"__r_{c}" for c in r_extra]:
+            if c not in g.columns:
+                g[c] = pd.NA
+        lg = g[g["__side"] == 0][lcols]
+        rg = g[g["__side"] == 1][on + [f"__r_{c}" for c in r_extra]]
+        rg = rg.rename(columns={f"__r_{c}": c for c in r_extra})
         return pa.Table.from_pandas(lg.merge(rg, on=on, how=how, sort=False), preserve_index=False)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
