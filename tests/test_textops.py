@@ -239,3 +239,33 @@ def test_dedup_distributed_cluster_path_equal(corpus):
     b = (textops.minhash_dedup(_ds(df), threshold=0.6, distributed_cluster_above=0)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session):
+    """IVF with n_probe == n_centroids scans every inverted list → must
+    reproduce brute force exactly (same merge, same tie-break)."""
+    rng = np.random.default_rng(31)
+    n, d = 240, 12
+    m = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:80], df.iloc[80:160], df.iloc[160:]])
+    qids, qm = np.array([0, 5]), m[[0, 5]]
+    exact = ann.brute_force_topk(ds, qids, qm, k=7)
+    ivf = ann.ivf_topk(ds, qids, qm, k=7, n_centroids=6, n_probe=6)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  ivf.reset_index(drop=True))
+
+
+def test_ivf_partial_probe_self_hit_and_recall(ray_session):
+    rng = np.random.default_rng(32)
+    n, d = 300, 16
+    m = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:150], df.iloc[150:]])
+    qids, qm = np.array([3]), m[[3]]
+    out = ann.ivf_topk(ds, qids, qm, k=5, n_centroids=8, n_probe=3)
+    # the query's own vector lands in its nearest centroid, which is probed
+    assert len(out) and out.iloc[0]["vec_id"] == 3
+    exact = ann.brute_force_topk(ds, qids, qm, k=5)
+    recall = len(set(out["vec_id"]) & set(exact["vec_id"])) / 5
+    assert recall >= 0.4  # 3/8 of the lists scanned

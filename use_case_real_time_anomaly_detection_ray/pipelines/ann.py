@@ -262,3 +262,101 @@ def cosine_near_dup_pairs(
     out = pd.concat(parts, ignore_index=True)
     return (out.drop_duplicates(["a", "b"])
             .sort_values(["a", "b"], kind="mergesort").reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# IVF variant (scale path #2): coarse k-means centroids + probe-list search
+# --------------------------------------------------------------------------
+
+def _train_centroids(sample: np.ndarray, n_centroids: int, seed: int,
+                     n_iter: int = 10) -> np.ndarray:
+    """Seeded Lloyd iterations on a (small, driver-side) training sample of
+    normalized vectors — the IVF coarse quantizer. Deterministic."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ _normalize(cent).T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return _normalize(cent)
+
+
+def _ivf_partial(t: pa.Table, bref, id_col: str, emb_col: str, k: int) -> pa.Table:
+    """Stateless per-batch IVF scorer: assign each base vector to its nearest
+    centroid; for every query, score only base rows whose centroid is in that
+    query's probe list; emit this batch's per-query top-k partial."""
+    query_ids, qn, cent, probes = _fetch(bref)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if t.num_rows == 0:
+        return empty
+    m = _list_col_to_matrix(t[emb_col])
+    bn = _normalize(m)
+    ids = np.asarray(t[id_col].to_pylist())
+    assign = np.argmax(bn @ cent.T, axis=1)
+    out_q, out_id, out_cos = [], [], []
+    for qi in range(qn.shape[0]):
+        rows = np.flatnonzero(np.isin(assign, probes[qi]))
+        if rows.size == 0:
+            continue
+        cos = qn[qi] @ bn[rows].T
+        kk = min(k, rows.size)
+        top = np.argpartition(-cos, kth=kk - 1)[:kk]
+        out_q.extend([query_ids[qi]] * kk)
+        out_id.extend(ids[rows[top]].tolist())
+        out_cos.extend(cos[top].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "cosine": pa.array(out_cos, pa.float64())})
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_step: int = 7,
+    train_max: int = 4096,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate top-k: a coarse k-means quantizer (trained on a
+    deterministic ``id % train_step == 0`` sample, capped at ``train_max``)
+    partitions the base vectors into ``n_centroids`` inverted lists; each
+    query scores only its ``n_probe`` nearest lists — an
+    ``n_probe/n_centroids`` scan fraction. Scoring runs inside
+    ``map_batches`` with per-block top-k partials (same merge as
+    :func:`brute_force_topk`); only centroids + probe lists broadcast.
+    With ``n_probe == n_centroids`` the result is exactly brute force.
+    Deterministic given the seed."""
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return t.filter(pa.array(ids % train_step == 0))
+
+    sample_tbl = ds.map_batches(sample_batch, batch_format="pyarrow") \
+                   .limit(train_max).to_pandas()
+    sample = np.stack([np.asarray(e, dtype=np.float64)
+                       for e in sample_tbl[emb_col]])
+    cent = _train_centroids(sample, n_centroids, seed)
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    n_probe = min(n_probe, cent.shape[0])
+    probes = np.argsort(-(q @ cent.T), axis=1, kind="mergesort")[:, :n_probe]
+    bref = ray.put((np.asarray(query_ids), q, cent, probes))
+    partials = ds.map_batches(
+        functools.partial(_ivf_partial, bref=bref, id_col=id_col,
+                          emb_col=emb_col, k=k),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["query_id", "vec_id", "cosine"])
+    return _merge_topk(partials, k)

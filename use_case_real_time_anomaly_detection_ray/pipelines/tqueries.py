@@ -224,6 +224,17 @@ def q_ann_lsh_topk(sf_dir: str):
     return ann.lsh_bucket_topk(emb, head["vec_id"].to_numpy(), qm, k=_ANN_K)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF scale-path ANN (coarse k-means + probe lists) — rows-only;
+    exactness at n_probe == n_centroids is pinned by
+    ``tests/test_textops.py::test_ivf_full_probe_equals_bruteforce``."""
+    emb = _embs(sf_dir)
+    head = emb.sort("vec_id").limit(_ANN_QUERIES).to_pandas()
+    qm = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    return ann.ivf_topk(emb, head["vec_id"].to_numpy(), qm, k=_ANN_K,
+                        n_centroids=8, n_probe=3)
+
+
 def q_emb_near_dup_pairs(sf_dir: str):
     # test-table embeddings are near-orthogonal (max pairwise cosine ≈0.51);
     # 0.4 keeps the result non-empty so the check exercises real rows
@@ -260,6 +271,7 @@ TEXT_QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
 }
 
