@@ -269,3 +269,26 @@ def test_ivf_partial_probe_self_hit_and_recall(ray_session):
     exact = ann.brute_force_topk(ds, qids, qm, k=5)
     recall = len(set(out["vec_id"]) & set(exact["vec_id"])) / 5
     assert recall >= 0.4  # 3/8 of the lists scanned
+
+
+def test_dedup_cli_writes_partitioned_output(corpus, tmp_path, ray_session, capsys):
+    """`python -m ... dedup` shape: partitioned parquet out + summary JSON."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from use_case_real_time_anomaly_detection_ray.__main__ import main
+
+    import pyarrow as _pa
+
+    df, _d, _e = corpus
+    src = str(tmp_path / "docs.parquet")
+    _pq.write_table(_pa.Table.from_pandas(df, preserve_index=False), src)
+    out_dir = str(tmp_path / "out")
+    rc = main(["dedup", src, out_dir, "--method", "exact"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == df["text"].nunique()  # exact dedup keeps one per text
+    import glob as _glob
+
+    assert len(_glob.glob(out_dir + "/*.parquet")) >= 1

@@ -6,6 +6,8 @@ Usage::
     python -m use_case_real_time_anomaly_detection_ray validate CORPUS_DIR OUT_DIR
     # one scheduled-copy anomaly tick over an (id,timestamp,value) parquet table
     python -m use_case_real_time_anomaly_detection_ray anomaly INPUT.parquet OUT_DIR
+    # near-dedup a (doc_id, text) table into partitioned parquet
+    python -m use_case_real_time_anomaly_detection_ray dedup DOCS.parquet OUT_DIR --method minhash
     # generate a corpus
     python -m use_case_real_time_anomaly_detection_ray datagen OUT_DIR --parts 8
 
@@ -22,9 +24,13 @@ import sys
 
 
 def _ensure_ray():
+    """Returns (ray, created): ``created`` is True only when THIS process
+    started the session — a pre-existing session (ray job submit, pytest
+    fixture) is reused and must NOT be shut down by the CLI."""
     import ray
 
-    if not ray.is_initialized():
+    created = not ray.is_initialized()
+    if created:
         ray.init(
             address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
@@ -33,7 +39,7 @@ def _ensure_ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, created
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -48,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("anomaly", help="one copy-log tick over an (id,timestamp,value) table")
     a.add_argument("input_parquet")
     a.add_argument("out_dir")
+
+    d = sub.add_parser("dedup", help="near-dedup a (doc_id, text) parquet table")
+    d.add_argument("input_parquet", help="file or directory of parquet")
+    d.add_argument("out_dir")
+    d.add_argument("--method", choices=["minhash", "simhash", "exact"],
+                   default="minhash")
+    d.add_argument("--threshold", type=float, default=0.7,
+                   help="minhash Jaccard threshold")
+    d.add_argument("--max-hamming", type=int, default=3,
+                   help="simhash Hamming radius")
 
     g = sub.add_parser("datagen", help="generate a synthetic code corpus")
     g.add_argument("out_dir")
@@ -69,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
                           for k, v in exp.items() if k != "spec"}, default=str))
         return 0
 
-    ray = _ensure_ray()
+    ray, created = _ensure_ray()
     try:
         if args.cmd == "validate":
             from .config import ValidationConfig
@@ -84,6 +100,31 @@ def main(argv: list[str] | None = None) -> int:
                 "n_failed_verdicts": int((res.verdicts["status"] == "fail").sum()),
                 "out_dir": res.out_dir,
             }))
+        elif args.cmd == "dedup":
+            import ray.data
+
+            from .pipelines import textops
+
+            ds = ray.data.read_parquet(args.input_parquet,
+                                       columns=["doc_id", "text"])
+            if args.method == "minhash":
+                out = textops.minhash_dedup(ds, threshold=args.threshold)
+            elif args.method == "simhash":
+                out = textops.simhash_dedup(ds, max_hamming=args.max_hamming)
+            else:
+                out = textops.exact_dedup(ds)
+            os.makedirs(args.out_dir, exist_ok=True)
+            # one file per block → partitioned, restart-friendly output
+            out.write_parquet(args.out_dir)
+            import pyarrow.dataset as pds
+
+            tbl = pds.dataset(args.out_dir).to_table()
+            import pyarrow.compute as _pc
+
+            kept = (int(_pc.sum(tbl.column("keep").cast("int64")).as_py())
+                    if "keep" in tbl.column_names else tbl.num_rows)
+            print(json.dumps({"out_dir": args.out_dir,
+                              "n_docs": tbl.num_rows, "n_kept": kept}))
         elif args.cmd == "anomaly":
             import ray.data
 
@@ -99,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out_dir": args.out_dir}))
     finally:
         # only shut down a session we created ourselves
-        if os.environ.get("RAY_ADDRESS", "local") == "local":
+        if created and os.environ.get("RAY_ADDRESS", "local") == "local":
             ray.shutdown()
     return 0
 
