@@ -259,6 +259,29 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def q_media_decode_features(sf_dir: str):
+    """Multimodal plumbing through the driver surface: deterministic synthetic
+    binary assets (sf-independent) → fixed-pool decode stage → per-asset
+    pixel features. The decode kernel is the documented stub
+    (``stages.multimodal.FakeDecoder``); the Ray plumbing is real."""
+    from ..stages.multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(n=64, seed=42))
+    return decode_features(ds).map_batches(
+        lambda t: t.select(["asset_id", "media_type", "width", "height",
+                            "pix_mean", "pix_std"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_frame_sample(sf_dir: str):
+    """flat_map-shaped video frame sampling (1 asset row → n frame rows)."""
+    from ..stages.multimodal import sample_frames, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(n=32, seed=7, media_type="video"))
+    return sample_frames(ds, every_k=2)
+
+
 TEXT_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_text_stats": q_doc_text_stats,
@@ -273,6 +296,8 @@ TEXT_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "media_decode_features": q_media_decode_features,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 TEXT_ORACLE = {
