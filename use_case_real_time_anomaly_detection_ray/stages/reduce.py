@@ -124,7 +124,10 @@ def distinct_rows(
 
     def partial(df: pd.DataFrame) -> pa.Table:
         if len(df) > 0:
-            df = df.sort_values(keys, kind="mergesort").drop_duplicates(
+            # sort by ALL columns (same total order as the merge): the kept
+            # row per key is then min-by-all-columns regardless of which
+            # block a duplicate lands in — block-boundary invariant
+            df = df.sort_values(list(df.columns), kind="mergesort").drop_duplicates(
                 subset=keys, keep="first"
             )
         return _pd_to_arrow(df)
