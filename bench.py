@@ -137,7 +137,10 @@ def run_bench() -> dict:
         "column_profile_lineitem": VALIDATION_QUERIES["column_profile_lineitem"],
         "doc_exact_dedup": TEXT_QUERIES["doc_exact_dedup"],
         "doc_minhash_dedup": TEXT_QUERIES["doc_minhash_dedup"],
+        "doc_simhash_dedup": TEXT_QUERIES["doc_simhash_dedup"],
+        "doc_lang_id": TEXT_QUERIES["doc_lang_id"],
         "ann_topk": TEXT_QUERIES["ann_topk"],
+        "ann_ivf_topk": TEXT_QUERIES["ann_ivf_topk"],
     }
     import pandas as pd
 

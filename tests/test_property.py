@@ -75,6 +75,41 @@ def test_distinct_rows_matches_pandas(df):
     )
 
 
+@settings(**SETTINGS)
+@given(keyed_frames())
+def test_top_k_by_key_matches_pandas(df):
+    from use_case_real_time_anomaly_detection_ray.stages.window import top_k_by_key
+
+    got = (top_k_by_key(_ds(df), "k", ["ts", "v"], k=3).to_pandas()
+           .sort_values(["k", "ts", "v"]).reset_index(drop=True))
+    want = (df.sort_values(["ts", "v"], ascending=[False, False], kind="mergesort")
+            .groupby("k", sort=False).head(3)
+            .sort_values(["k", "ts", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "v"]].astype(want.dtypes.to_dict()), want[["k", "ts", "v"]]
+    )
+
+
+@settings(**SETTINGS)
+@given(keyed_frames())
+def test_lag_shift_matches_pandas(df):
+    from use_case_real_time_anomaly_detection_ray.stages.window import lag_shift
+
+    # make (k, ts) unique so the lag order is total and both sides agree
+    df = df.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    got = (lag_shift(_ds(df), "k", "ts", ["v"]).to_pandas()
+           .sort_values(["k", "ts"]).reset_index(drop=True))
+    want = df.sort_values(["k", "ts"], kind="mergesort").reset_index(drop=True)
+    want["previous_v"] = want.groupby("k")["v"].shift(1)
+    got_prev = got["previous_v"].astype("float64")
+    pd.testing.assert_series_equal(got_prev, want["previous_v"],
+                                   check_names=False)
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "v"]].astype(want[["k", "ts", "v"]].dtypes.to_dict()),
+        want[["k", "ts", "v"]],
+    )
+
+
 @pytest.fixture(autouse=True)
 def _session(ray_session):
     yield
