@@ -48,12 +48,19 @@ def q_uniqueness_summary(sf_dir: str):
     rows = []
     for tname, keys in specs:
         ds = read_table(sf_dir, tname, columns=keys)
-        counts = group_count(ds, keys, out_col="n").to_pandas()
+        # counts stay a (materialized, distributed) Dataset; only the two
+        # scalar counts reach the driver — the distinct-key set never does
+        counts = group_count(ds, keys, out_col="n").materialize()
+        n_keys = counts.count()
+        n_dup = counts.map_batches(
+            lambda t: t.filter(pa.compute.greater(t["n"], 1)),
+            batch_format="pyarrow",
+        ).count()
         rows.append(
             {
                 "table_name": tname,
-                "n_keys": int(len(counts)),
-                "n_dup_keys": int((counts["n"] > 1).sum()),
+                "n_keys": int(n_keys),
+                "n_dup_keys": int(n_dup),
             }
         )
     return pd.DataFrame(rows)
