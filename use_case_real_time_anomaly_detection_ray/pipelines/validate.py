@@ -644,8 +644,13 @@ def run(
         except Exception as e:  # surfaced at join time
             uniq_result["error"] = e
 
+    # RTAD_SEQ_UNIQ=1 runs the key-only scan AFTER the content pass instead
+    # of overlapped — a measurement knob for boxes where concurrent streams
+    # contend rather than pipeline
+    seq_uniq = os.environ.get("RTAD_SEQ_UNIQ") == "1"
     uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
-    uniq_thread.start()
+    if not seq_uniq:
+        uniq_thread.start()
 
     # ---- phase 1: content pass over TODO partitions ----------------------
     new_stats = pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"])
@@ -733,6 +738,8 @@ def run(
     )
 
     # ---- phase 2: join the concurrent key-only scan -----------------------
+    if seq_uniq:
+        uniq_thread.start()
     uniq_thread.join()
     if "error" in uniq_result:
         raise uniq_result["error"]
