@@ -146,6 +146,15 @@ def derive_light(batch: pa.Table) -> pa.Table:
     return out
 
 
+class _DerivePool:
+    """Actor-pool wrapper for :func:`derive_light` — used above ~16 session
+    CPUs to pin decode work to a bounded set of worker processes (warm
+    resident arenas; see the call site in :func:`run`)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return derive_light(batch)
+
+
 def range_violations(light: "ray.data.Dataset", cfg: ValidationConfig) -> "ray.data.Dataset":
     """Row-level range check — the out-of-range predicate applied to
     ``content_length`` (``copy_out_of_range.pipe:32``), note byte-format
@@ -348,6 +357,40 @@ def uniqueness_violations(
     return _uniqueness_from_datasets(pre, ds)
 
 
+class _HashPartialPool:
+    """Key-scan stage 1: (repo,path,commit,part) block → per-block
+    (hash, n, part_min) partials. Callable both as a stateless fn (small
+    sessions) and as an actor-pool class (large sessions)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        df = pd.DataFrame({"h": _triple_hash(t, _UNIQ_KEYS),
+                           "part": t["part"].to_numpy()})
+        g = df.groupby("h", sort=False).agg(
+            n=("part", "size"), part=("part", "min")
+        ).reset_index()
+        return pa.table({"h": pa.array(g["h"].to_numpy(), pa.uint64()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                         "part": pa.array(g["part"].to_numpy().astype("int64"))})
+
+
+class _FetchCandidatesPool:
+    """Key-scan stage 2: keep rows whose triple-hash is in the (broadcast)
+    duplicate-hash set."""
+
+    def __init__(self, dup_hashes: pa.Array):
+        self.dup_hashes = dup_hashes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = pa.array(_triple_hash(t, _UNIQ_KEYS), pa.uint64())
+        return t.filter(pc.is_in(h, value_set=self.dup_hashes))
+
+
 def _uniqueness_from_datasets(
     pre: "ray.data.Dataset", ds: "ray.data.Dataset",
     bucketed_above: int = UNIQ_BUCKETED_ABOVE,
@@ -367,23 +410,18 @@ def _uniqueness_from_datasets(
         hash collisions (at 10^12 keys step 2 would use the 128-bit variant;
         collisions only cost extra verify work, never wrong output)."""
     keys = _UNIQ_KEYS
+    # above the physical-core count, pin the key scans to a bounded actor
+    # pool — same worker-rotation/arena-re-fault pathology as the content
+    # pass (see _DerivePool); at small CPU counts plain fused tasks win
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    heavy_kwargs: dict[str, Any] = (
+        {"concurrency": min(8, max(4, ncpu // 4))} if ncpu > 16 else {}
+    )
 
-    def hash_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.uint64()),
-                             "n": pa.array([], pa.int64()),
-                             "part": pa.array([], pa.int64())})
-        df = pd.DataFrame({"h": _triple_hash(t, keys),
-                           "part": t["part"].to_numpy()})
-        g = df.groupby("h", sort=False).agg(
-            n=("part", "size"), part=("part", "min")
-        ).reset_index()
-        return pa.table({"h": pa.array(g["h"].to_numpy(), pa.uint64()),
-                         "n": pa.array(g["n"].to_numpy(), pa.int64()),
-                         "part": pa.array(g["part"].to_numpy().astype("int64"))})
-
-    partials = pre.map_batches(hash_partial, batch_format="pyarrow",
-                               batch_size=None).materialize()
+    partials = pre.map_batches(
+        _HashPartialPool if ncpu > 16 else _HashPartialPool(),
+        batch_format="pyarrow", batch_size=None, **heavy_kwargs,
+    ).materialize()
     n_partials = partials.count()
 
     def merge_dups(g: pd.DataFrame) -> pd.DataFrame:
@@ -407,15 +445,17 @@ def _uniqueness_from_datasets(
 
     dup_hashes = pa.array(dup_df["h"].to_numpy().astype("uint64"), pa.uint64())
 
-    def fetch_candidates(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        h = pa.array(_triple_hash(t, keys), pa.uint64())
-        return t.filter(pc.is_in(h, value_set=dup_hashes))
-
-    cand = to_arrow_single(
-        ds.map_batches(fetch_candidates, batch_format="pyarrow", batch_size=None)
-    ).to_pandas()
+    if ncpu > 16:
+        fetch_stage = ds.map_batches(
+            _FetchCandidatesPool, fn_constructor_args=(dup_hashes,),
+            batch_format="pyarrow", batch_size=None, **heavy_kwargs,
+        )
+    else:
+        fetch_stage = ds.map_batches(
+            _FetchCandidatesPool(dup_hashes),
+            batch_format="pyarrow", batch_size=None,
+        )
+    cand = to_arrow_single(fetch_stage).to_pandas()
     exact = cand.groupby(keys, sort=False).agg(
         n=("part", "size"), part=("part", "min")
     ).reset_index()
@@ -661,8 +701,22 @@ def run(
         # heavy content bytes never enter the object store; only the light
         # projection (~2% of bytes) is materialized
         ds = ray.data.read_parquet(files, override_num_blocks=len(files))
-        light = ds.map_batches(derive_light, batch_format="pyarrow",
-                               batch_size=None)
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        if ncpu > 16:
+            # Beyond the physical-core count, stateless decode tasks rotate
+            # across every spawned worker process and each process re-faults
+            # a fresh arena (this guest serializes page-fault zeroing) —
+            # measured 13-23 s vs 5-6 s at 32 CPUs. A FIXED actor pool pins
+            # the heavy decode to a bounded set of warm processes (the
+            # "state" is the resident allocator arena).
+            light = ds.map_batches(_DerivePool, batch_format="pyarrow",
+                                   batch_size=None,
+                                   concurrency=min(16, max(8, ncpu // 2)))
+        else:
+            light = ds.map_batches(derive_light, batch_format="pyarrow",
+                                   batch_size=None)
         # materialize once: range violations + moments both consume it
         light = light.materialize()
         _mark("derive+materialize")
