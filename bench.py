@@ -144,6 +144,12 @@ def run_bench() -> dict:
     }
     import pandas as pd
 
+    # re-warm the task-worker pool: the suite's actor pools displace idle
+    # task workers, and without this the first query pays their respawn
+    ray.data.range(1000, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
     qtimes: dict[str, float] = {}
     for name, fn in chosen.items():
         t0 = time.perf_counter()

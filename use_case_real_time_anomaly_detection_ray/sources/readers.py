@@ -79,6 +79,19 @@ def read_table(
     pipelines — a read that loads all columns for a 2-column transform is
     wrong at 100 TB."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if "override_num_blocks" not in kwargs:
+        # bound the block count to the table's size (~1 block / 50k rows,
+        # footer-only metadata read): Ray's default splits a small file into
+        # ~2×num_cpus micro-blocks, and each downstream stage then schedules
+        # that many near-empty tasks — at 32 CPUs this made a 100k-row
+        # multi-stage pipeline 3× slower than at 8
+        try:
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(path).metadata.num_rows
+            kwargs["override_num_blocks"] = int(max(1, min(16, n // 50_000)))
+        except Exception:
+            pass
     return ray.data.read_parquet(path, columns=list(columns) if columns else None, **kwargs)
 
 
