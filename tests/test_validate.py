@@ -231,3 +231,32 @@ def test_rerun_noop_resume(corpus, tmp_path_factory, ray_session):
     a = first.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
     b = second.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_null_rate_check(tmp_path_factory, ray_session):
+    """Planted null-content burst in one part is flagged by null_rate (and
+    invisible to the range predicate — SQL NULL comparison semantics);
+    clean parts pass."""
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("nullc") / "c")
+    spec = CorpusSpec(n_parts=4, rows_per_part=400, n_out_of_range=0,
+                      n_duplicates=0, n_dangling=0, null_part=2, null_frac=0.2)
+    exp = generate_corpus(d, spec)
+    odir = str(tmp_path_factory.mktemp("nullo") / "o")
+    res = validate.run(d, odir, CFG)
+    nr = res.violations[res.violations.check == "null_rate"]
+    assert nr["part"].astype(int).tolist() == [2]
+    want_rate = exp["null_rate"]["n_null"] / (
+        exp["null_rate"]["n_null"] + 400 - exp["null_rate"]["n_null"])
+    assert abs(nr["value"].iloc[0] - exp["null_rate"]["frac"]) < 1e-12
+    assert nr["anomaly_type"].iloc[0] == "null-rate"
+    # null rows never show up as range violations
+    rng_v = res.violations[res.violations.check == "range"]
+    assert len(rng_v) == 0
+    # verdict row exists and fails only for part 2
+    v = res.verdicts[res.verdicts.check == "null_rate"]
+    assert (v[v.part == 2].status == "fail").all()
+    assert (v[v.part != 2].status == "pass").all()

@@ -42,6 +42,10 @@ REGISTRY: dict[str, Check] = {
         Check("range", "out-of-range", "row",
               "tinybird/pipes/copy_out_of_range.pipe:32",
               ("min_len", "max_len")),
+        Check("null_rate", "null-rate", "gate",
+              "SURVEY.md §7: range-check companion (null/empty-content rate "
+              "vs threshold per partition)",
+              ("max_null_rate",)),
         Check("staleness", "timeout", "gate",
               "tinybird/pipes/copy_timeout.pipe:21-41",
               ("stale_parts",)),

@@ -70,6 +70,9 @@ class ValidationConfig:
     # range check <- out-of-range (copy_out_of_range.pipe:32)
     min_len: int = 200
     max_len: int = 2000
+    # null/empty-content rate per partition (SURVEY.md §7 transposition:
+    # "also null/empty-content rate vs threshold")
+    max_null_rate: float = 0.02
     # staleness <- timeout (copy_timeout.pipe:21-22,41): a repo whose latest
     # partition ordinal is older than `stale_parts` behind the newest is stale.
     stale_parts: int = 2
@@ -85,6 +88,7 @@ class ValidationConfig:
     exact_quantile_limit: int = 1_000_000
     checks: tuple[str, ...] = (
         "range",
+        "null_rate",
         "staleness",
         "drift_rate",
         "zscore",

@@ -64,6 +64,11 @@ class CorpusSpec:
     # north_star); fraction of that part's rows forced to `shift_lang`
     lang_shift_frac: float = 0.25
     shift_lang: str = "json"
+    # optional planted null-content burst: `null_frac` of rows in part
+    # `null_part` get content=NULL (the null/empty-content-rate check's
+    # target; defaults keep existing fixtures byte-identical)
+    null_part: int | None = None
+    null_frac: float = 0.0
 
     @property
     def lang_shift_part(self) -> int:
@@ -190,6 +195,18 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
                 )
 
         content = _make_content(rng, lengths, pool)
+
+        # ---- plant null content (never in the control repo) ---------------
+        if spec.null_part == part and spec.null_frac > 0:
+            null_mask = (rng.random(spec.rows_per_part) < spec.null_frac) & (
+                ridx != CONTROL
+            )
+            for j in np.flatnonzero(null_mask):
+                content[int(j)] = None
+            expected["null_rate"] = {
+                "part": part, "n_null": int(null_mask.sum()),
+                "frac": float(null_mask.sum()) / spec.rows_per_part,
+            }
 
         tbl = {
             "repo": list(repo_col), "path": list(path_col),

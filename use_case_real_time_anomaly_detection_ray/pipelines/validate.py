@@ -240,6 +240,51 @@ def lang_counts(light: "ray.data.Dataset") -> pd.DataFrame:
     return parts.groupby(["part", "lang"], sort=False)["n"].sum().reset_index()
 
 
+def null_counts(light: "ray.data.Dataset") -> pd.DataFrame:
+    """Per-part (n_rows, n_null) where 'null' = NULL content or zero length —
+    the null/empty-content-rate input (SURVEY.md §7: the range check's
+    companion). Partials per block, tiny driver merge."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ln = df["content_length"]
+        nn = (ln.isna() | (ln == 0)).to_numpy().astype("int64")
+        g = pd.DataFrame({"part": df["part"].to_numpy(), "nn": nn})
+        out = g.groupby("part", sort=False).agg(
+            n=("nn", "size"), n_null=("nn", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = light.map_batches(partial, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["part", "n", "n_null"])
+    return parts.groupby("part", sort=False)[["n", "n_null"]].sum().reset_index()
+
+
+def null_rate_violations(null_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.Table:
+    """Flag partitions whose null/empty-content fraction exceeds
+    ``max_null_rate``. Null rows are invisible to the range predicate (SQL
+    NULL comparisons drop them), so this is the check that catches a corrupt
+    ingest batch of empty payloads."""
+    rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+    for r in null_stats.itertuples():
+        rate = (float(r.n_null) / float(r.n)) if r.n else 0.0
+        if rate > cfg.max_null_rate:
+            rows["check"].append("null_rate")
+            rows["part"].append(int(r.part))
+            rows["repo"].append("")
+            rows["path"].append("")
+            rows["commit"].append("")
+            rows["value"].append(rate)
+            rows["anomaly_type"].append("null-rate")
+            rows["note"].append(
+                f"null_rate:{scalar.round_half_even(rate, 4)} "
+                f"max:{cfg.max_null_rate}"
+            )
+            rows["sha256"].append("")
+    return _viol_table(rows)
+
+
 def lang_gate_violations(lang_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.Table:
     """z-score + quantileExact-IQR gates over each language's per-part
     frequency series (freq = lang rows / part rows). Same detector math and
@@ -734,6 +779,7 @@ def run(
         rv_thread.start()
         new_stats = repo_part_moments(light, cfg)
         new_lang = lang_counts(light)
+        new_null = null_counts(light)
         rv_thread.join()
         if "e" in rv_box:
             raise rv_box["e"]
@@ -760,11 +806,17 @@ def run(
                 {"lang": r.lang, "n": int(r.n)}
                 for r in new_lang[new_lang["part"] == p].itertuples()
             ]
+            nrow = new_null[new_null["part"] == p]
+            null_snap = (
+                {"n": int(nrow["n"].iloc[0]), "n_null": int(nrow["n_null"].iloc[0])}
+                if len(nrow) else {"n": 0, "n_null": 0}
+            )
             manifest.mark_done(
                 p, fragments=parts[p], n_rows=n_rows,
                 stats_snapshot=_stats_to_snapshot(new_stats, p),
                 metrics={"n_range_violations": int(len(pv)),
-                         "lang_counts": lang_snap},
+                         "lang_counts": lang_snap,
+                         "null_stats": null_snap},
             )
 
     _mark("per-part writes+manifest")
@@ -789,6 +841,21 @@ def run(
         pd.concat(lang_non_empty, ignore_index=True)
         if lang_non_empty
         else pd.DataFrame(columns=["part", "lang", "n"])
+    )
+    old_null = pd.DataFrame(
+        [
+            {"part": p, **rec.get("metrics", {}).get("null_stats",
+                                                     {"n": 0, "n_null": 0})}
+            for p, rec in done.items()
+        ],
+        columns=["part", "n", "n_null"],
+    )
+    null_non_empty = [x for x in (old_null, new_null if todo else old_null.iloc[0:0])
+                      if len(x)]
+    null_stats = (
+        pd.concat(null_non_empty, ignore_index=True)
+        if null_non_empty
+        else pd.DataFrame(columns=["part", "n", "n_null"])
     )
 
     # ---- phase 2: join the concurrent key-only scan -----------------------
@@ -817,11 +884,16 @@ def run(
         lang_gates["check"].isin([c for c in ("lang_zscore", "lang_iqr")
                                   if c in cfg.checks])
     ]
+    null_gates = (
+        null_rate_violations(null_stats, cfg).to_pandas()
+        if "null_rate" in cfg.checks
+        else pd.DataFrame(columns=VIOLATION_COLS)
+    )
     _mark("gates")
 
     # ---- assemble ----------------------------------------------------------
-    gates = pd.concat([f for f in (gates, lang_gates) if len(f)],
-                      ignore_index=True) if len(lang_gates) else gates
+    extra = [f for f in (lang_gates, null_gates) if len(f)]
+    gates = pd.concat([gates, *extra], ignore_index=True) if extra else gates
     range_df = pd.concat(
         [
             pq.read_table(
