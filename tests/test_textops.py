@@ -292,3 +292,22 @@ def test_dedup_cli_writes_partitioned_output(corpus, tmp_path, ray_session, caps
     import glob as _glob
 
     assert len(_glob.glob(out_dir + "/*.parquet")) >= 1
+
+
+def test_distributed_cluster_path_string_ids(ray_session):
+    """The label-propagation scale path is id-type generic: string doc ids
+    cluster identically to the driver union-find path."""
+    docs = ["alpha beta gamma delta epsilon zeta eta theta " * 6] * 2 + [
+        f"doc {i} unique words " + " ".join(f"w{i}_{j}" for j in range(30))
+        for i in range(10)
+    ]
+    df = pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(docs))],
+                       "text": docs})
+    ds = ray.data.from_pandas([df.iloc[:6], df.iloc[6:]])
+    a = (textops.minhash_dedup(ds, threshold=0.6)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (textops.minhash_dedup(ds, threshold=0.6, distributed_cluster_above=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    cl = dict(zip(a["doc_id"], a["cluster_id"]))
+    assert cl["d000"] == cl["d001"] == "d000"  # exact dups collapse to min id

@@ -260,3 +260,26 @@ def test_null_rate_check(tmp_path_factory, ray_session):
     v = res.verdicts[res.verdicts.check == "null_rate"]
     assert (v[v.part == 2].status == "fail").all()
     assert (v[v.part != 2].status == "pass").all()
+
+
+def test_null_rate_resume_rescans_pre_upgrade_manifests(corpus, tmp_path_factory,
+                                                        ray_session):
+    """Manifest records written before the null_rate check existed (no
+    null_stats metric) are re-scanned on resume, not silently passed."""
+    import json
+
+    cdir, _ = corpus
+    odir = str(tmp_path_factory.mktemp("vold") / "o")
+    full = validate.run(cdir, odir, CFG)
+    # simulate a pre-upgrade manifest: strip null_stats from the first record
+    mpath = os.path.join(odir, "manifest.jsonl")
+    lines = open(mpath).read().strip().splitlines()
+    rec0 = json.loads(lines[0])
+    rec0["metrics"].pop("null_stats")
+    with open(mpath, "w") as f:
+        f.write("\n".join([json.dumps(rec0)] + lines[1:]) + "\n")
+    resumed = validate.run(cdir, odir, CFG, resume=True)
+    assert resumed.parts_scanned == [rec0["part"]]  # re-scanned, not skipped
+    a = full.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    b = resumed.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

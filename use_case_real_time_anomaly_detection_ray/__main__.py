@@ -113,18 +113,32 @@ def main(argv: list[str] | None = None) -> int:
                 out = textops.simhash_dedup(ds, max_hamming=args.max_hamming)
             else:
                 out = textops.exact_dedup(ds)
+            if os.path.isdir(args.out_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(args.out_dir)
+            ):
+                # write_parquet appends; counting a dirty directory would mix
+                # runs (and possibly schemas) silently
+                print(json.dumps({"error": f"out_dir {args.out_dir} already "
+                                           "contains parquet files"}))
+                return 2
             os.makedirs(args.out_dir, exist_ok=True)
+            out = out.materialize()
             # one file per block → partitioned, restart-friendly output
             out.write_parquet(args.out_dir)
-            import pyarrow.dataset as pds
-
-            tbl = pds.dataset(args.out_dir).to_table()
+            # counts from the (distributed) materialized result — the output
+            # table never lands on the driver
+            n_docs = out.count()
             import pyarrow.compute as _pc
 
-            kept = (int(_pc.sum(tbl.column("keep").cast("int64")).as_py())
-                    if "keep" in tbl.column_names else tbl.num_rows)
+            if "keep" in out.schema().names:
+                kept = out.map_batches(
+                    lambda t: t.filter(_pc.equal(t["keep"], True)),
+                    batch_format="pyarrow",
+                ).count()
+            else:
+                kept = n_docs
             print(json.dumps({"out_dir": args.out_dir,
-                              "n_docs": tbl.num_rows, "n_kept": kept}))
+                              "n_docs": int(n_docs), "n_kept": int(kept)}))
         elif args.cmd == "anomaly":
             import ray.data
 

@@ -14,7 +14,11 @@ import re
 
 import numpy as np
 
-WORD_RE = re.compile(r"\S+")
+# ASCII-whitespace tokenization (NOT \S+): the DuckDB oracles split on RE2's
+# \s = [ \t\n\r\f] (ASCII-only, no \v), while Python's \S is Unicode-aware —
+# an NBSP/U+2028 in a document would silently diverge token counts between
+# engine and oracle. This set mirrors RE2 exactly.
+WORD_RE = re.compile(r"[^ \t\n\r\f]+")
 TOKEN_RE = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + punctuation marks
 PUNCT_RE = re.compile(r"[^\w\s]")
 

@@ -345,6 +345,9 @@ def ivf_topk(
 
     sample_tbl = ds.map_batches(sample_batch, batch_format="pyarrow") \
                    .limit(train_max).to_pandas()
+    if len(sample_tbl) == 0:
+        # id space has no multiple of train_step — fall back to a plain head
+        sample_tbl = ds.limit(train_max).to_pandas()
     sample = np.stack([np.asarray(e, dtype=np.float64)
                        for e in sample_tbl[emb_col]])
     cent = _train_centroids(sample, n_centroids, seed)

@@ -200,15 +200,14 @@ def propagate_clusters(pairs: pd.DataFrame | "ray.data.Dataset",
 
     if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_arrow(
-            pa.table({"a": pa.array(pairs["a"], pa.int64()),
-                      "b": pa.array(pairs["b"], pa.int64())})
+            pa.table({"a": pa.array(pairs["a"]), "b": pa.array(pairs["b"])})
         )
 
+    # id-type generic: keys/labels keep the id column's own type (ints and
+    # strings both have the total order min-label propagation needs)
     def symmetrize(t: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
-                              t["b"].combine_chunks().cast(pa.int64())])
-        v = pa.concat_arrays([t["b"].combine_chunks().cast(pa.int64()),
-                              t["a"].combine_chunks().cast(pa.int64())])
+        u = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        v = pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()])
         kind = pa.nulls(len(u), pa.int8()).fill_null(0)
         return pa.table({"key": u, "val": v, "kind": kind})
 
@@ -226,27 +225,34 @@ def propagate_clusters(pairs: pd.DataFrame | "ray.data.Dataset",
                          num_buckets=num_buckets).materialize()
 
     def _label_sum(lab) -> int:
+        """Fixpoint detector: wrapping sum of per-row label hashes (type
+        generic — works for string ids too). Labels are per-node monotone
+        non-increasing, so the label MULTISET is stable iff the assignment
+        is; an order-independent hash sum detects that."""
+        import polars as pl
+
         tot = 0
         for t in ray.get(lab.to_arrow_refs()):
             if not isinstance(t, pa.Table):
                 t = pa.Table.from_pandas(t, preserve_index=False)
             if t.num_rows:
-                tot += pa.compute.sum(t["label"]).as_py()
+                h = pl.from_arrow(t.select(["label"])).hash_rows(seed=0).sum()
+                tot = (tot + int(h)) & ((1 << 64) - 1)
         return tot
 
     def to_stream(t: pa.Table) -> pa.Table:
         kind = pa.nulls(t.num_rows, pa.int8()).fill_null(1)
-        return pa.table({"key": t["node"].combine_chunks().cast(pa.int64()),
-                         "val": t["label"].combine_chunks().cast(pa.int64()),
+        return pa.table({"key": t["node"].combine_chunks(),
+                         "val": t["label"].combine_chunks(),
                          "kind": kind})
 
     def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
         labm = g[g["kind"] == 1].groupby("key")["val"].min()
         ed = g[g["kind"] == 0]
-        out_node = np.concatenate([ed["val"].to_numpy(dtype="int64"),
-                                   labm.index.to_numpy(dtype="int64")])
-        out_label = np.concatenate([ed["key"].map(labm).to_numpy(dtype="int64"),
-                                    labm.to_numpy(dtype="int64")])
+        out_node = np.concatenate([ed["val"].to_numpy(),
+                                   labm.index.to_numpy()])
+        out_label = np.concatenate([ed["key"].map(labm).to_numpy(),
+                                    labm.to_numpy()])
         return pd.DataFrame({"node": out_node, "label": out_label})
 
     def min_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -278,14 +284,14 @@ def _assign_clusters_distributed(
     from ..stages.reduce import bucketed_merge
 
     def ids_stream(t: pa.Table) -> pa.Table:
-        ids = t[id_col].combine_chunks().cast(pa.int64())
+        ids = t[id_col].combine_chunks()
         return pa.table({"key": ids,
                          "val": ids,
                          "kind": pa.nulls(len(ids), pa.int8()).fill_null(0)})
 
     def lab_stream(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["node"].combine_chunks().cast(pa.int64()),
-                         "val": t["label"].combine_chunks().cast(pa.int64()),
+        return pa.table({"key": t["node"].combine_chunks(),
+                         "val": t["label"].combine_chunks(),
                          "kind": pa.nulls(t.num_rows, pa.int8()).fill_null(1)})
 
     stream = ds.select_columns([id_col]).map_batches(
@@ -295,12 +301,12 @@ def _assign_clusters_distributed(
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         labm = g[g["kind"] == 1].groupby("key")["val"].min()
         ids = g[g["kind"] == 0]["key"]
-        cluster = ids.map(labm).fillna(ids).astype("int64")
+        cluster = ids.map(labm).fillna(ids)
         return pd.DataFrame(
             {
-                id_col: ids.to_numpy(dtype="int64"),
+                id_col: ids.to_numpy(),
                 "cluster_id": cluster.to_numpy(),
-                "keep": ids.to_numpy(dtype="int64") == cluster.to_numpy(),
+                "keep": ids.to_numpy() == cluster.to_numpy(),
             }
         )
 

@@ -58,7 +58,7 @@ SQL_DOC_TEXT_STATS = f"""
 WITH f AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         regexp_split_to_array(trim(text), '\\s+') AS w,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w,
          len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
          len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe
   FROM documents
@@ -83,7 +83,7 @@ SQL_DOC_QUALITY = f"""
 WITH f AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         regexp_split_to_array(trim(text), '\\s+') AS w,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w,
          len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
   FROM documents
 ), s AS (
@@ -173,7 +173,7 @@ WITH f AS (
   SELECT doc_id,
          len(regexp_extract_all(substring(text, 1, 4000), '[一-鿿]')) AS cjk,
          least(length(text), 4000) AS head_len,
-         list_transform(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 2000),
+         list_transform(list_slice(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), 1, 2000),
                         x -> lower(x)) AS w
   FROM documents
 ), c AS (
@@ -237,12 +237,14 @@ def q_ann_ivf_topk(sf_dir: str):
 
 def q_emb_near_dup_pairs(sf_dir: str):
     # test-table embeddings are near-orthogonal (max pairwise cosine ≈0.51);
-    # 0.4 keeps the result non-empty so the check exercises real rows
-    out = ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4).copy()
-    # shared half-up rounding at 1e-6 absorbs accumulation-order ulps
-    # between the numpy matmul and the SQL engine's sequential dot product
+    # 0.4 keeps the result non-empty so the check exercises real rows.
+    # Threshold membership is decided on the ROUNDED cosine on both sides
+    # (scan with a small margin, then filter rounded >= 0.4): comparing raw
+    # values would let an accumulation-order ulp flip a boundary pair in or
+    # out between numpy matmul and the SQL sequential dot product.
+    out = ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4 - 1e-4).copy()
     out["cosine"] = np.floor(out["cosine"] * 1e6 + 0.5) / 1e6
-    return out
+    return out[out["cosine"] >= 0.4].reset_index(drop=True)
 
 
 # exact all-pairs oracle — the engine's block-pair scan is exact too, so the
@@ -254,8 +256,9 @@ SELECT x.vec_id AS a, y.vec_id AS b,
                                     CAST(y.embedding AS DOUBLE[])) * 1000000 + 0.5)
          / 1000000 AS cosine
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                             CAST(y.embedding AS DOUBLE[])) >= 0.4
+WHERE floor(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])) * 1000000 + 0.5)
+        / 1000000 >= 0.4
 """
 
 

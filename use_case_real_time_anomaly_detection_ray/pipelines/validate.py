@@ -394,12 +394,21 @@ def uniqueness_violations(
     Column-pruned read (keys only, never content); hash-condense + pre-count
     per block, then a keyed merge. Violation value = duplicate count."""
     files = [f for frags in discover_parts(corpus_dir).values() for f in frags]
+    return _uniqueness_from_datasets(*_uniq_reads(files))
+
+
+def _uniq_reads(files: list[str]):
+    """The two key-only scans of the uniqueness check (one recipe, both call
+    sites): column-pruned, one block per file so the read fuses with the
+    hash/filter stage — raw key strings never enter the object store (only
+    16-byte hash partials do)."""
     cols = _UNIQ_KEYS + ["part"]
-    # one block per file → the read fuses with the hash/filter stage, so raw
-    # key strings never enter the object store (only 16-byte hash partials do)
-    pre = ray.data.read_parquet(files, columns=cols, override_num_blocks=len(files))
-    ds = ray.data.read_parquet(files, columns=cols, override_num_blocks=len(files))
-    return _uniqueness_from_datasets(pre, ds)
+
+    def mk():
+        return ray.data.read_parquet(files, columns=cols,
+                                     override_num_blocks=len(files))
+
+    return mk(), mk()
 
 
 class _HashPartialPool:
@@ -698,6 +707,14 @@ def run(
     global_max_part = max(parts)
     manifest = Manifest(out_dir)
     done = manifest.done_parts() if resume else {}
+    if "null_rate" in cfg.checks:
+        # a manifest written before the null_rate check existed lacks the
+        # per-part null_stats snapshot — treat those parts as NOT done so
+        # they are re-scanned (resume only skips work that was fully done
+        # under the CURRENT check set; silently passing them would defeat
+        # the very check meant to catch all-null partitions)
+        done = {p: rec for p, rec in done.items()
+                if "null_stats" in rec.get("metrics", {})}
     todo = sorted(p for p in parts if p not in done)
     skipped = sorted(p for p in parts if p in done)
 
@@ -711,13 +728,7 @@ def run(
     # fsspec imports are not thread-safe on first touch); only execution runs
     # in the background thread
     uniq_files = [f for frags in parts.values() for f in frags]
-    uniq_cols = _UNIQ_KEYS + ["part"]
-    # one block per file → read fuses with the hash/filter stages (raw key
-    # strings never hit the object store)
-    uniq_pre = ray.data.read_parquet(uniq_files, columns=uniq_cols,
-                                     override_num_blocks=len(uniq_files))
-    uniq_keys_ds = ray.data.read_parquet(uniq_files, columns=uniq_cols,
-                                         override_num_blocks=len(uniq_files))
+    uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
 
     uniq_result: dict[str, Any] = {}
 

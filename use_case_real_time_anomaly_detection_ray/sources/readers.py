@@ -84,12 +84,18 @@ def read_table(
         # footer-only metadata read): Ray's default splits a small file into
         # ~2×num_cpus micro-blocks, and each downstream stage then schedules
         # that many near-empty tasks — at 32 CPUs this made a 100k-row
-        # multi-stage pipeline 3× slower than at 8
+        # multi-stage pipeline 3× slower than at 8. The cap scales with the
+        # cluster (≥16, up to 4×CPUs) so big tables keep full parallelism.
         try:
             import pyarrow.parquet as _pq
 
+            import ray as _ray
+
             n = _pq.ParquetFile(path).metadata.num_rows
-            kwargs["override_num_blocks"] = int(max(1, min(16, n // 50_000)))
+            cap = 16
+            if _ray.is_initialized():
+                cap = max(16, 4 * int(_ray.cluster_resources().get("CPU", 4)))
+            kwargs["override_num_blocks"] = int(max(1, min(cap, n // 50_000)))
         except Exception:
             pass
     return ray.data.read_parquet(path, columns=list(columns) if columns else None, **kwargs)

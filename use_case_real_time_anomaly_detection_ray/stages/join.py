@@ -24,12 +24,18 @@ import ray.data
 
 
 #: per-process cache of fetched broadcast objects (a local-plasma ray.get is
-#: near-free, but caching also skips deserialization of pandas payloads)
+#: near-free, but caching also skips deserialization of pandas payloads).
+#: BOUNDED FIFO: every brute-force/LSH/IVF/cluster-map call puts a fresh ref,
+#: and an unbounded cache would pin each one in every worker for the session
+#: lifetime (monotone RSS growth in long-lived sessions).
 _BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
 
 
 def _fetch(ref):
     if ref not in _BCAST_CACHE:
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[ref] = ray.get(ref)
     return _BCAST_CACHE[ref]
 
