@@ -140,26 +140,35 @@ def column_profile_exact_cents(
             nulls = int(col.null_count)
             v = col.drop_null().to_numpy(zero_copy_only=False).astype("float64")
             cv = np.floor(v * 100.0 + 0.5).astype("int64")
+            # sum of squared cents needs >64 bits (a SQL engine promotes the
+            # sum to HUGEINT; numpy int64 silently wraps past ~10^18 — seen
+            # at sf0.1 on l_extendedprice). Accumulate as exact Python ints
+            # and ship the partial as a decimal string.
+            co = cv.astype(object)
             rows["column"].append(c)
             rows["n"].append(int(v.size))
             rows["nulls"].append(nulls)
             rows["sc"].append(int(cv.sum()))
-            rows["ss"].append(int((cv * cv).sum()))
+            rows["ss"].append(str(int((co * co).sum())))
             rows["mn"].append(float(v.min()) if v.size else np.nan)
             rows["mx"].append(float(v.max()) if v.size else np.nan)
         return pa.table(rows)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
     agg = parts.groupby("column", sort=False).agg(
-        n=("n", "sum"), nulls=("nulls", "sum"), sc=("sc", "sum"), ss=("ss", "sum"),
+        n=("n", "sum"), nulls=("nulls", "sum"), sc=("sc", "sum"),
         mn=("mn", "min"), mx=("mx", "max"),
     )
+    ss_tot = {c: sum(int(x) for x in parts[parts["column"] == c]["ss"])
+              for c in cols}
     out = []
     for c in cols:
         r = agg.loc[c]
         n = float(r["n"])
         mean_c = float(r["sc"]) / n
-        var_c = max(float(r["ss"]) / n - mean_c * mean_c, 0.0)
+        # float(exact int) FIRST, then divide — the same double-conversion
+        # order a SQL engine uses for HUGEINT / BIGINT
+        var_c = max(float(ss_tot[c]) / n - mean_c * mean_c, 0.0)
         out.append(
             {
                 "column": c, "n": int(r["n"]), "n_null": int(r["nulls"]),
