@@ -282,18 +282,30 @@ def per_id_mean_std(
 
     def partial(df: pd.DataFrame) -> pa.Table:
         c = np.floor(df["value"].to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64")
-        g = pd.DataFrame({"id": df["id"].to_numpy(), "sc": c, "ss": c * c})
+        # squared-cents sums can exceed int64 (SQL engines promote to
+        # HUGEINT; numpy silently wraps) — take the exact object-int path
+        # when |c|²·n is anywhere near the limit, else stay vectorized.
+        risky = c.size and float(np.abs(c).max()) ** 2 * c.size > 4e18
+        sq = (c.astype(object) * c.astype(object)) if risky else c * c
+        g = pd.DataFrame({"id": df["id"].to_numpy(), "sc": c, "ss": sq})
         out = (
             g.groupby("id", sort=False)
             .agg(sc=("sc", "sum"), ss=("ss", "sum"), n=("sc", "size"))
             .reset_index()
         )
+        out["ss"] = [str(int(x)) for x in out["ss"]]  # exact across blocks
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = win.map_batches(partial, batch_format="pandas").to_pandas()
-    agg = parts.groupby("id", sort=False)[["sc", "ss", "n"]].sum().reset_index()
+    agg = parts.groupby("id", sort=False)[["sc", "n"]].sum().reset_index()
+    ss_map = parts.groupby("id", sort=False)["ss"].apply(
+        lambda s: sum(int(x) for x in s)
+    )
     mean_c = agg["sc"].to_numpy(dtype="float64") / agg["n"].to_numpy(dtype="float64")
-    ss_n = agg["ss"].to_numpy(dtype="float64") / agg["n"].to_numpy(dtype="float64")
+    # float(exact int) first, then divide — the SQL HUGEINT/BIGINT order
+    ss_n = np.array([float(ss_map[i]) for i in agg["id"]]) / agg["n"].to_numpy(
+        dtype="float64"
+    )
     var_c = ss_n - mean_c * mean_c
     return pd.DataFrame(
         {
