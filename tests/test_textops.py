@@ -232,13 +232,14 @@ def test_propagate_clusters_matches_union_find(ray_session):
 
 def test_dedup_distributed_cluster_path_equal(corpus):
     """Forcing the label-propagation path (threshold 0) reproduces exactly
-    the broadcast union-find assignment."""
+    the broadcast union-find assignment — including dtypes (the distributed
+    path must not float-upcast int ids)."""
     df, _d, _e = corpus
     a = (textops.minhash_dedup(_ds(df), threshold=0.6)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     b = (textops.minhash_dedup(_ds(df), threshold=0.6, distributed_cluster_above=0)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_ivf_full_probe_equals_bruteforce(ray_session):
@@ -296,11 +297,16 @@ def test_dedup_cli_writes_partitioned_output(corpus, tmp_path, ray_session, caps
 
 def test_distributed_cluster_path_string_ids(ray_session):
     """The label-propagation scale path is id-type generic: string doc ids
-    cluster identically to the driver union-find path."""
+    cluster identically to the driver union-find path. Near-dups (not just
+    exact dups, which collapse before clustering) keep the verified-pair set
+    non-empty so the distributed path genuinely runs."""
     docs = ["alpha beta gamma delta epsilon zeta eta theta " * 6] * 2 + [
         f"doc {i} unique words " + " ".join(f"w{i}_{j}" for j in range(30))
         for i in range(10)
     ]
+    near = docs[5].split()
+    near[3] = "mutated"
+    docs.append(" ".join(near))  # near-dup of d005
     df = pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(docs))],
                        "text": docs})
     ds = ray.data.from_pandas([df.iloc[:6], df.iloc[6:]])
@@ -308,6 +314,78 @@ def test_distributed_cluster_path_string_ids(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     b = (textops.minhash_dedup(ds, threshold=0.6, distributed_cluster_above=0)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    pd.testing.assert_frame_equal(a, b)
     cl = dict(zip(a["doc_id"], a["cluster_id"]))
     assert cl["d000"] == cl["d001"] == "d000"  # exact dups collapse to min id
+    assert cl["d005"] == cl["d012"] == "d005"  # near-dups via verified pair
+    assert (~a["keep"]).sum() == 2
+
+
+def test_distributed_assign_preserves_big_int_ids(ray_session):
+    """ids ≥ 2^53 survive the distributed assignment exactly (a float64
+    transit would corrupt them — ADVICE r2) and the dtype stays int64."""
+    rng = np.random.default_rng(77)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs = [" ".join(vocab[j] for j in rng.integers(0, 500, 60))
+            for i in range(10)]
+    near = docs[2].split()
+    near[0] = "mutated"
+    docs.append(" ".join(near))  # near-dup of doc 2
+    base = 1 << 62
+    ids = [base + 7 * i + 1 for i in range(len(docs))]
+    df = pd.DataFrame({"doc_id": ids, "text": docs})
+    ds = ray.data.from_pandas([df.iloc[:5], df.iloc[5:]])
+    out = (textops.minhash_dedup(ds, threshold=0.6, distributed_cluster_above=0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].dtype == np.int64
+    assert out["cluster_id"].dtype == np.int64
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[ids[2]] == cl[ids[10]] == ids[2]
+    assert set(out["doc_id"]) == set(ids)  # exact ids, no 2^53 rounding
+
+
+def test_high_duplication_collapses_before_pairing(ray_session, monkeypatch):
+    """A corpus that is mostly ONE identical boilerplate doc completes with
+    O(n) work: exact duplicates collapse to their representative inside the
+    LSH buckets, so no candidate/corpus-sized frame ever reaches the driver
+    (guards both Dataset.to_pandas and the to_arrow_single funnel), and the
+    cluster output is exact."""
+    n_dup = 1000
+    boiler = "all work and no play makes a dull boy indeed " * 12
+    rng = np.random.default_rng(42)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs = [boiler] * n_dup + [
+        " ".join(vocab[j] for j in rng.integers(0, 500, 60)) for i in range(60)
+    ]
+    near = docs[n_dup + 3].split()
+    near[0] = "zzz"
+    docs.append(" ".join(near))  # one genuine near-dup pair
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ds = ray.data.from_pandas([df.iloc[:400], df.iloc[400:900], df.iloc[900:]])
+
+    bound = 150  # ≪ n_dup: only rep/pair-scale frames may reach the driver
+    orig_tp = ray.data.Dataset.to_pandas
+
+    def guarded_tp(self, *a, **kw):
+        out = orig_tp(self, *a, **kw)
+        assert len(out) < bound, f"driver pull of {len(out)} rows"
+        return out
+
+    orig_tas = textops.to_arrow_single
+
+    def guarded_tas(d):
+        t = orig_tas(d)
+        assert t.num_rows < bound, f"driver pull of {t.num_rows} rows"
+        return t
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded_tp)
+    monkeypatch.setattr(textops, "to_arrow_single", guarded_tas)
+    out_ds = textops.minhash_dedup(ds, threshold=0.6)
+    monkeypatch.undo()
+    out = out_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == len(df)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(cl[i] == 0 for i in range(n_dup))  # boilerplate → one cluster
+    assert cl[n_dup + 3] == cl[len(docs) - 1] == n_dup + 3
+    # dropped: the n_dup-1 boilerplate copies + the one near-dup partner
+    assert out["keep"].sum() == len(df) - (n_dup - 1) - 1

@@ -7,53 +7,65 @@ Execution shapes (ray_guide 'Aggregation at scale' patterns):
 * exact dedup — content-hash column in a vectorized ``map_batches``, then the
   partial-reduce keep-min-id (same machinery as the reference's
   ``LIMIT 1 BY`` dedup, ``dedup_log.pipe:6``);
-* MinHash-LSH — per-batch signatures → explode to (band, band_hash, doc) rows
-  → ``groupby(band, band_hash)`` buckets → candidate pairs → exact-Jaccard
-  verify → union-find clustering. The signature stage runs as stateless tasks
-  with a per-process permutation-table cache (:func:`minhash_explode`);
-* the pair-verify step broadcasts the shingle sets of candidate docs only
-  (candidates ≪ corpus); at larger candidate volumes swap in the bucketed
-  join (``stages.join.bucketed_join``) — noted per function.
+* MinHash-LSH — per-batch signatures → explode to (band, band_hash, doc, md5)
+  rows → ``groupby(band, band_hash)`` buckets → candidate-pair DATASET →
+  distributed exact-Jaccard verify → clustering. The signature stage runs as
+  stateless tasks with a per-process permutation-table cache
+  (:func:`minhash_explode`).
+
+Scale discipline for the near-dup tails (all three ops):
+
+* **Pairs never land on the driver.** Candidate pairs are emitted as a
+  Dataset straight from the bucket groupby (:func:`_pair_dataset`) and flow
+  into verification and clustering as Datasets; the only driver pulls are
+  the distinct candidate-ID set (for the broadcast payload filter — ids
+  only, bounded by the bucket caps) and, below
+  ``CLUSTER_DISTRIBUTED_ABOVE``, the verified-pair set for union-find.
+* **Exact duplicates collapse inside the LSH bucket.** All docs with equal
+  content share every band value, so each (band, hash) group contains the
+  doc's whole content class; keeping the min-id per content key inside the
+  group yields the global representative with zero extra shuffles — a corpus
+  with 10^5 identical boilerplate docs costs O(n), not O(n²) pairs. Cluster
+  membership is re-expanded through the distributed (id, rep) map
+  (:func:`_rep_map`).
+* **Verification is a two-hop bucketed co-location** (:func:`_verify_pairs`):
+  payloads (shingle-set bytes / simhash ints) attach to each pair by
+  key-hash bucket — first on ``a``, then on ``b`` — and the exact
+  Jaccard/Hamming score is computed inside the merge; no driver payload
+  dict, no driver pair loop (the round-2 anti-pattern).
+* Buckets that stay oversized after the collapse (mass NEAR-duplication) are
+  truncated to the ``max_bucket_size`` smallest ids with a logged drop.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from ..functions import text as T
 from ..stages.join import _fetch
-from ..stages.reduce import grouped_agg, latest_by_key, to_arrow_single
+from ..stages.reduce import (
+    bucketed_merge,
+    distinct_rows,
+    grouped_agg,
+    latest_by_key,
+    to_arrow_single,
+)
 
+_LOG = logging.getLogger(__name__)
 
-def _bucket_pairs(exploded: "ray.data.Dataset", bucket_keys: list[str],
-                  id_col: str) -> pd.DataFrame:
-    """(a, b) candidate pairs of ids sharing an exact LSH bucket, computed per
-    key-hash group (vectorized within the group — one Python call per hash
-    bucket, not per LSH bucket; most LSH buckets are singletons and are
-    filtered out vectorized before any pair loop runs)."""
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(bucket_keys + [id_col])
-        sz = g.groupby(bucket_keys, sort=False)[id_col].transform("size")
-        dup = g[sz > 1].sort_values(bucket_keys + [id_col], kind="mergesort")
-        a_out, b_out = [], []
-        for _, grp in dup.groupby(bucket_keys, sort=False):
-            ids = grp[id_col].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        return pd.DataFrame({"a": a_out, "b": b_out})
-
-    pairs = grouped_agg(exploded, bucket_keys, lambda df: df, merge)
-    return pairs.to_pandas()
+#: Representatives per LSH bucket above which pair emission truncates to the
+#: smallest ids (with a logged drop count). Exact duplicates are collapsed
+#: BEFORE this cap applies, so only mass near-duplication can hit it.
+MAX_LSH_BUCKET = 1000
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -99,9 +111,13 @@ def _hasher(num_perm: int) -> "T.MinHasher":
 
 
 def minhash_explode(batch: pa.Table, id_col: str, text_col: str, num_perm: int,
-                    bands: int, shingle_k: int) -> pa.Table:
+                    bands: int, shingle_k: int,
+                    with_md5: bool = False) -> pa.Table:
     """Shingle + MinHash signature per row, exploded into (band, band_hash,
-    id) rows for the LSH bucket groupby."""
+    id[, __md5]) rows for the LSH bucket groupby. ``with_md5`` carries the
+    content hash into every band row so the bucket merge can collapse exact
+    duplicates in place (their identical signatures co-locate the whole
+    content class in every bucket)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     hasher = _hasher(num_perm)
@@ -119,14 +135,224 @@ def minhash_explode(batch: pa.Table, id_col: str, text_col: str, num_perm: int,
         for j in range(rows_per_band):
             bh = bh * prime + r[:, :, j]
     idx = np.repeat(np.arange(n), bands)
-    return pa.table(
-        {
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
-            "band_hash": pa.array((bh >> np.uint64(1)).astype(np.int64).ravel(),
-                                  pa.int64()),
-            id_col: batch[id_col].take(pa.array(idx)),
-        }
-    )
+    cols = {
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+        "band_hash": pa.array((bh >> np.uint64(1)).astype(np.int64).ravel(),
+                              pa.int64()),
+        id_col: batch[id_col].take(pa.array(idx)),
+    }
+    if with_md5:
+        md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        cols["__md5"] = pa.array([md5[i] for i in idx], pa.string())
+    return pa.table(cols)
+
+
+def _id_type(ds: "ray.data.Dataset", id_col: str) -> pa.DataType:
+    return ds.schema().base_schema.field(id_col).type
+
+
+def _pair_dataset(
+    exploded: "ray.data.Dataset",
+    bucket_keys: list[str],
+    id_col: str,
+    id_type: pa.DataType,
+    collapse_col: str | None = None,
+    max_bucket_size: int = MAX_LSH_BUCKET,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distinct (a, b) candidate pairs (a < b) of ids sharing an exact LSH
+    bucket — emitted as a DATASET from the bucket groupby, never driver-
+    materialized. Within each bucket, rows sharing ``collapse_col`` (equal
+    content: same md5 / same simhash) first collapse to their min-id
+    representative — all members of a content class share every band value,
+    so the in-bucket min IS the global representative. Buckets still larger
+    than ``max_bucket_size`` afterwards are truncated to the smallest ids
+    with a logged drop count (bounded, skew-safe pair volume)."""
+    bucket_keys = list(bucket_keys)
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(bucket_keys + [id_col])
+        if collapse_col is not None:
+            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(
+                bucket_keys + [collapse_col], keep="first"
+            )
+        sz = g.groupby(bucket_keys, sort=False)[id_col].transform("size")
+        dup = g[sz > 1].sort_values(bucket_keys + [id_col], kind="mergesort")
+        if not len(dup):
+            return empty
+        a_out, b_out = [], []
+        for _, grp in dup.groupby(bucket_keys, sort=False):
+            ids = grp[id_col].to_numpy()
+            if len(ids) > max_bucket_size:
+                _LOG.warning(
+                    "LSH bucket truncated: %d of %d ids dropped "
+                    "(max_bucket_size=%d) — pairs among dropped ids are not "
+                    "candidates this pass",
+                    len(ids) - max_bucket_size, len(ids), max_bucket_size,
+                )
+                ids = ids[:max_bucket_size]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        return pa.table({"a": pa.array(a, id_type), "b": pa.array(b, id_type)})
+
+    pairs = grouped_agg(exploded, bucket_keys, lambda df: df, merge,
+                        num_buckets=num_buckets)
+    return distinct_rows(pairs, ["a", "b"])
+
+
+def _distinct_pair_ids(pairs: "ray.data.Dataset", id_col: str) -> pa.Array:
+    """Distinct ids appearing in any candidate pair, deduplicated
+    DISTRIBUTED (bucketed) first — the driver receives only the final id set
+    (ids only, bounded by the bucket caps; the pair list itself never lands)."""
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )})
+
+    ids_ds = pairs.map_batches(both, batch_format="pyarrow")
+    tbl = to_arrow_single(distinct_rows(ids_ds, [id_col]))
+    return tbl[id_col].combine_chunks()
+
+
+def _shingle_payload(
+    ds: "ray.data.Dataset", id_col: str, text_col: str,
+    cand_ids: pa.Array, shingle_k: int,
+) -> "ray.data.Dataset":
+    """(id, payload=shingle-set bytes) for candidate docs ONLY, via a
+    filtered distributed pass (``is_in`` against the broadcast candidate-id
+    set). The corpus text never leaves its block; the payload Dataset is
+    O(|candidate docs|) and stays in the object store."""
+    ref = ray.put(cand_ids)
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = _fetch(ref)
+        sub = t.filter(pc.is_in(t[id_col], value_set=ids))
+        pay = [np.sort(T.word_shingles(x, shingle_k)).tobytes()
+               for x in sub[text_col].to_pylist()]
+        return pa.table({id_col: sub[id_col],
+                         "payload": pa.array(pay, pa.large_binary())})
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def _verify_pairs(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    id_col: str,
+    id_type: pa.DataType,
+    pay_type: pa.DataType,
+    score_fn,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed pair verification: attach each pair's two payloads via two
+    bucketed co-locations (union-stream, join-free — the round-2 driver
+    dict/loop eliminated) and compute ``score_fn(payload_a, payload_b) →
+    float ndarray`` inside the merge. Returns a Dataset (a, b, score).
+
+    Payload rows ship through both hops; pair rows additionally carry
+    payload_a through hop 2 — total shuffle volume O(|payloads| + |pairs| ×
+    payload size), bounded by the candidate caps, independent of corpus
+    size."""
+    pay_placeholder = 0 if pa.types.is_integer(pay_type) else b""
+
+    def pairs_stream(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["a"].combine_chunks(),
+            "other": t["b"].combine_chunks(),
+            "payload": pa.array([pay_placeholder] * n, pay_type),
+            "kind": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def payload_stream(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        return pa.table({
+            "key": ids,
+            "other": ids,
+            "payload": t["payload"].combine_chunks(),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    hop1_empty = pa.table({"key": pa.array([], id_type),
+                           "other": pa.array([], id_type),
+                           "payload": pa.array([], pay_type),
+                           "kind": pa.array([], pa.int8())})
+    out_empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type),
+                          "score": pa.array([], pa.float64())})
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["kind"] == 0]
+        if not len(pr):
+            return hop1_empty
+        pay = (g[g["kind"] == 1].drop_duplicates("key")
+               .set_index("key")["payload"])
+        pa_vals = pr["key"].map(pay)
+        return pa.table({
+            "key": pa.array(pr["other"].to_numpy(), id_type),
+            "other": pa.array(pr["key"].to_numpy(), id_type),
+            "payload": pa.array(pa_vals.to_numpy(), pay_type),
+            "kind": pa.array(np.zeros(len(pr), np.int8)),
+        })
+
+    def attach_b(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["kind"] == 0]
+        if not len(pr):
+            return out_empty
+        pay = (g[g["kind"] == 1].drop_duplicates("key")
+               .set_index("key")["payload"])
+        pb_vals = pr["key"].map(pay)
+        score = np.asarray(score_fn(pr["payload"], pb_vals), dtype=np.float64)
+        return pa.table({
+            "a": pa.array(pr["other"].to_numpy(), id_type),
+            "b": pa.array(pr["key"].to_numpy(), id_type),
+            "score": pa.array(score, pa.float64()),
+        })
+
+    s_pay = payload.map_batches(payload_stream, batch_format="pyarrow")
+    s_pairs = pairs.map_batches(pairs_stream, batch_format="pyarrow")
+    hop1 = bucketed_merge(s_pairs.union(s_pay), ["key"], attach_a, num_buckets)
+    return bucketed_merge(hop1.union(s_pay), ["key"], attach_b, num_buckets)
+
+
+def _jaccard_payload(pa_s: pd.Series, pb_s: pd.Series) -> np.ndarray:
+    """Exact Jaccard over sorted-uint64-shingle byte payloads (worker-side)."""
+    return np.array([
+        T.jaccard(np.frombuffer(x, np.uint64), np.frombuffer(y, np.uint64))
+        for x, y in zip(pa_s, pb_s)
+    ], dtype=np.float64)
+
+
+def _hamming_payload(pa_s: pd.Series, pb_s: pd.Series) -> np.ndarray:
+    """Vectorized Hamming distance over int64 simhash payloads."""
+    a = np.ascontiguousarray(pa_s.to_numpy(dtype=np.int64)).view(np.uint64)
+    b = np.ascontiguousarray(pb_s.to_numpy(dtype=np.int64)).view(np.uint64)
+    x = np.ascontiguousarray(a ^ b)
+    if not len(x):
+        return np.empty(0, np.float64)
+    return (np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+            .astype(np.float64))
+
+
+def _rep_map(
+    id_key: "ray.data.Dataset", id_col: str, key_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(id, rep) for every doc: rep = min id among rows sharing ``key_col``
+    (content hash) — the exact-duplicate representative map, one bucketed
+    shuffle of (id, key) rows; nothing reaches the driver."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby(key_col, sort=False)[id_col].transform("min")
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "rep": rep.to_numpy()})
+
+    return bucketed_merge(id_key, [key_col], merge, num_buckets)
 
 
 def lsh_candidate_pairs(
@@ -137,17 +363,21 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> pd.DataFrame:
-    """(a, b) candidate pairs sharing ≥1 LSH bucket. The bucket groupby is the
-    only shuffle and moves (band, hash, id) triples — never text."""
+    """(a, b) candidate pairs sharing ≥1 LSH bucket, as a (small) DataFrame —
+    the inspection/debug surface. The bucket groupby is the only shuffle and
+    moves (band, hash, id) triples — never text. The dedup pipelines use the
+    Dataset-native path (:func:`_pair_dataset`) instead."""
     import functools
 
     exploded = ds.map_batches(
         functools.partial(minhash_explode, id_col=id_col, text_col=text_col,
                           num_perm=num_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow",
-    )
-    cand = _bucket_pairs(exploded, ["band", "band_hash"], id_col)
-    return cand.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    ).materialize()
+    pairs = _pair_dataset(exploded, ["band", "band_hash"], id_col,
+                          _id_type(exploded, id_col))
+    return (to_arrow_single(pairs).to_pandas()
+            .sort_values(["a", "b"], kind="mergesort").reset_index(drop=True))
 
 
 def _clusters_from_pairs(pairs: pd.DataFrame) -> dict:
@@ -192,16 +422,25 @@ def propagate_clusters(pairs: pd.DataFrame | "ray.data.Dataset",
     2-3 rounds in practice. Returns a Dataset of (node, label) covering every
     node that appears in a pair.
 
-    Convergence is detected from ``sum(labels)``: labels only ever decrease,
-    so a stable sum (one tiny aggregate per round) means a fixed point."""
+    Convergence is detected from an order-independent label hash-sum: labels
+    only ever decrease, so a stable multiset (one tiny aggregate per round)
+    means a fixed point. Exiting via ``max_iter`` without the fixpoint (a
+    chain-shaped component longer than ``max_iter`` hops) emits a
+    ``RuntimeWarning`` — the result is then a refinement, not exact
+    connected components."""
     import ray.data as rd
-
-    from ..stages.reduce import bucketed_merge
 
     if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_arrow(
             pa.table({"a": pa.array(pairs["a"]), "b": pa.array(pairs["b"])})
         )
+
+    # hash implementation decided ONCE, on the driver (the sums are computed
+    # driver-side over to_arrow_refs, so there is no worker heterogeneity)
+    try:
+        import polars as _pl
+    except Exception:
+        _pl = None
 
     # id-type generic: keys/labels keep the id column's own type (ints and
     # strings both have the total order min-label propagation needs)
@@ -228,16 +467,22 @@ def propagate_clusters(pairs: pd.DataFrame | "ray.data.Dataset",
         """Fixpoint detector: wrapping sum of per-row label hashes (type
         generic — works for string ids too). Labels are per-node monotone
         non-increasing, so the label MULTISET is stable iff the assignment
-        is; an order-independent hash sum detects that."""
-        import polars as pl
-
+        is; an order-independent hash sum detects that. polars row hashing
+        when available, pandas hash_array otherwise (same driver process
+        both rounds, so the choice is stable within a run)."""
         tot = 0
         for t in ray.get(lab.to_arrow_refs()):
             if not isinstance(t, pa.Table):
                 t = pa.Table.from_pandas(t, preserve_index=False)
             if t.num_rows:
-                h = pl.from_arrow(t.select(["label"])).hash_rows(seed=0).sum()
-                tot = (tot + int(h)) & ((1 << 64) - 1)
+                if _pl is not None:
+                    h = int(_pl.from_arrow(t.select(["label"]))
+                            .hash_rows(seed=0).sum())
+                else:
+                    h = int(pd.util.hash_array(
+                        np.asarray(t["label"].to_pandas())
+                    ).astype(np.uint64).sum())
+                tot = (tot + h) & ((1 << 64) - 1)
         return tot
 
     def to_stream(t: pa.Table) -> pa.Table:
@@ -270,61 +515,71 @@ def propagate_clusters(pairs: pd.DataFrame | "ray.data.Dataset",
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        import warnings
+
+        warnings.warn(
+            f"propagate_clusters: no fixpoint after max_iter={max_iter} "
+            "rounds; long chain components may be returned split",
+            RuntimeWarning,
+        )
     return labels
 
 
 def _assign_clusters_distributed(
-    ds: "ray.data.Dataset", id_col: str, labels: "ray.data.Dataset",
+    rep_map: "ray.data.Dataset", id_col: str, labels: "ray.data.Dataset",
 ) -> "ray.data.Dataset":
-    """Scale-path (id, cluster_id, keep) assignment, join-free: union the id
-    stream with the propagated label stream, bucket by key hash, and fill
-    each id's cluster from its (co-located) label row — ids in no pair keep
-    themselves. Everything stays distributed; nothing proportional to the
-    corpus touches the driver."""
-    from ..stages.reduce import bucketed_merge
+    """Scale-path (id, cluster_id, keep) assignment, join-free: union the
+    (rep → doc) stream with the propagated (rep → label) stream, bucket by
+    rep hash, and give each doc its rep's label (reps in no pair keep
+    themselves). Lookups go through ``isin`` + ``reindex`` so the id dtype
+    is preserved exactly — a ``map``/``fillna`` here would upcast int64 ids
+    through float64 and corrupt ids ≥ 2^53 (ADVICE r2)."""
 
     def ids_stream(t: pa.Table) -> pa.Table:
-        ids = t[id_col].combine_chunks()
-        return pa.table({"key": ids,
-                         "val": ids,
-                         "kind": pa.nulls(len(ids), pa.int8()).fill_null(0)})
+        return pa.table({"key": t["rep"].combine_chunks(),
+                         "val": t[id_col].combine_chunks(),
+                         "kind": pa.nulls(t.num_rows, pa.int8()).fill_null(0)})
 
     def lab_stream(t: pa.Table) -> pa.Table:
         return pa.table({"key": t["node"].combine_chunks(),
                          "val": t["label"].combine_chunks(),
                          "kind": pa.nulls(t.num_rows, pa.int8()).fill_null(1)})
 
-    stream = ds.select_columns([id_col]).map_batches(
-        ids_stream, batch_format="pyarrow"
-    ).union(labels.map_batches(lab_stream, batch_format="pyarrow"))
+    stream = rep_map.map_batches(ids_stream, batch_format="pyarrow").union(
+        labels.map_batches(lab_stream, batch_format="pyarrow")
+    )
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         labm = g[g["kind"] == 1].groupby("key")["val"].min()
-        ids = g[g["kind"] == 0]["key"]
-        cluster = ids.map(labm).fillna(ids)
+        pr = g[g["kind"] == 0]
+        reps = pr["key"]
+        ids = pr["val"].to_numpy()
+        cluster = reps.to_numpy().copy()
+        hit = reps.isin(labm.index).to_numpy()
+        if hit.any():
+            cluster[hit] = labm.reindex(reps[hit]).to_numpy()
         return pd.DataFrame(
-            {
-                id_col: ids.to_numpy(),
-                "cluster_id": cluster.to_numpy(),
-                "keep": ids.to_numpy() == cluster.to_numpy(),
-            }
+            {id_col: ids, "cluster_id": cluster, "keep": ids == cluster}
         )
 
     return bucketed_merge(stream, ["key"], assign)
 
 
-def _assign_clusters(ds: "ray.data.Dataset", id_col: str,
+def _assign_clusters(rep_map: "ray.data.Dataset", id_col: str,
                      cluster_map: dict) -> "ray.data.Dataset":
-    """Distributed (id, cluster_id, keep) assignment. Only the cluster map —
-    docs that belong to some verified near-dup pair, ≪ corpus — is broadcast
-    (``ray.put`` once, fetched once per worker process); the full id column
-    never touches the driver and the result stays a streaming Dataset."""
+    """Distributed (id, cluster_id, keep) assignment over the (doc, rep) map.
+    Only the cluster map — reps that belong to some verified near-dup pair,
+    ≪ corpus — is broadcast (``ray.put`` once, fetched once per worker
+    process); the full id column never touches the driver and the result
+    stays a streaming Dataset."""
     ref = ray.put(cluster_map)
 
     def assign(t: pa.Table) -> pa.Table:
         cl = _fetch(ref)
         ids = t[id_col].to_pylist()
-        cluster = [cl.get(i, i) for i in ids]
+        reps = t["rep"].to_pylist()
+        cluster = [cl.get(r, r) for r in reps]
         return pa.table(
             {
                 id_col: t[id_col],
@@ -333,37 +588,32 @@ def _assign_clusters(ds: "ray.data.Dataset", id_col: str,
             }
         )
 
-    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+    return rep_map.map_batches(assign, batch_format="pyarrow")
 
 
-def _candidate_shingles(
-    ds: "ray.data.Dataset", id_col: str, text_col: str,
-    cand_ids: set, shingle_k: int,
-) -> dict:
-    """Shingle sets for candidate docs ONLY, via a filtered distributed pass
-    (``is_in`` against the broadcast candidate-id set) — the corpus text never
-    reaches the driver; the gathered table is O(|candidates|)."""
-    id_arr = pa.array(list(cand_ids))
-
-    def shingles_of(t: pa.Table) -> pa.Table:
-        mask = pa.compute.is_in(t[id_col], value_set=id_arr)
-        sub = t.filter(mask)
-        return pa.table(
-            {
-                id_col: sub[id_col],
-                "sh": pa.array(
-                    [T.word_shingles(x, shingle_k).tolist()
-                     for x in sub[text_col].to_pylist()],
-                    pa.list_(pa.uint64()),
-                ),
-            }
+def _cluster_assign(
+    rep_map: "ray.data.Dataset",
+    verified: "ray.data.Dataset",
+    id_col: str,
+    distributed_cluster_above: int,
+) -> "ray.data.Dataset":
+    """Cluster the verified pair Dataset and assign every doc (via its exact-
+    dup representative) a (cluster_id, keep). Below the threshold the
+    verified pairs — and only they — come to the driver for union-find;
+    above it label propagation keeps everything distributed."""
+    verified = verified.materialize()
+    n = verified.count()
+    if n > distributed_cluster_above:
+        return _assign_clusters_distributed(
+            rep_map, id_col, propagate_clusters(verified)
         )
-
-    shing = to_arrow_single(
-        ds.map_batches(shingles_of, batch_format="pyarrow")
-    )
-    return {i: np.asarray(sh, dtype=np.uint64)
-            for i, sh in zip(shing[id_col].to_pylist(), shing["sh"].to_pylist())}
+    if n == 0:
+        # zero verified pairs (e.g. only exact dups, all collapsed): every
+        # rep is its own cluster — and an all-empty Dataset may carry no
+        # schema to pull columns from
+        return _assign_clusters(rep_map, id_col, {})
+    pairs_df = to_arrow_single(verified).to_pandas()
+    return _assign_clusters(rep_map, id_col, _clusters_from_pairs(pairs_df))
 
 
 def minhash_dedup(
@@ -375,28 +625,46 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     distributed_cluster_above: int = CLUSTER_DISTRIBUTED_ABOVE,
+    max_bucket_size: int = MAX_LSH_BUCKET,
 ) -> "ray.data.Dataset":
     """Full MinHash-LSH dedup: a Dataset of (id, cluster_id, keep) for every
-    doc. Verification recomputes exact Jaccard for candidate pairs from the
-    candidate-only shingle fetch (:func:`_candidate_shingles`); clustering is
-    driver union-find + broadcast map for small verified-pair sets, and
-    fully distributed label propagation (:func:`propagate_clusters`) above
-    ``distributed_cluster_above`` pairs — no full-corpus driver
-    materialization on either path."""
-    cand = lsh_candidate_pairs(ds, id_col, text_col, num_perm, bands, shingle_k)
-    if len(cand):
-        smap = _candidate_shingles(
-            ds, id_col, text_col, set(cand["a"]) | set(cand["b"]), shingle_k
+    doc. End-to-end distributed: exact duplicates collapse inside the LSH
+    buckets (O(n) under mass duplication), candidate pairs stay a Dataset,
+    exact-Jaccard verification runs as a two-hop bucketed co-location
+    (:func:`_verify_pairs`), and membership re-expands through the
+    distributed (doc, rep) map. Driver traffic: the distinct candidate-id
+    set (broadcast filter) and — below ``distributed_cluster_above`` — the
+    verified pairs for union-find."""
+    import functools
+
+    exploded = ds.map_batches(
+        functools.partial(minhash_explode, id_col=id_col, text_col=text_col,
+                          num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                          with_md5=True),
+        batch_format="pyarrow",
+    ).materialize()
+    id_type = _id_type(exploded, id_col)
+    id_md5 = exploded.map_batches(
+        lambda t: t.filter(pc.equal(t["band"], 0)).select([id_col, "__md5"]),
+        batch_format="pyarrow",
+    )
+    rep_map = _rep_map(id_md5, id_col, "__md5")
+    pairs = _pair_dataset(exploded, ["band", "band_hash"], id_col, id_type,
+                          collapse_col="__md5",
+                          max_bucket_size=max_bucket_size).materialize()
+    if pairs.count():
+        cand_ids = _distinct_pair_ids(pairs, id_col)
+        payload = _shingle_payload(ds, id_col, text_col, cand_ids, shingle_k)
+        scored = _verify_pairs(pairs, payload, id_col, id_type,
+                               pa.large_binary(), _jaccard_payload)
+        verified = scored.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["score"], threshold))
+                       .select(["a", "b"]),
+            batch_format="pyarrow",
         )
-        jac = np.array(
-            [T.jaccard(smap[a], smap[b]) for a, b in zip(cand["a"], cand["b"])]
-        )
-        verified = cand[jac >= threshold]
     else:
-        verified = cand
-    if len(verified) > distributed_cluster_above:
-        return _assign_clusters_distributed(ds, id_col, propagate_clusters(verified))
-    return _assign_clusters(ds, id_col, _clusters_from_pairs(verified))
+        verified = pairs
+    return _cluster_assign(rep_map, verified, id_col, distributed_cluster_above)
 
 
 # --------------------------------------------------------------------------
@@ -423,18 +691,26 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     distributed_cluster_above: int = CLUSTER_DISTRIBUTED_ABOVE,
+    max_bucket_size: int = MAX_LSH_BUCKET,
 ) -> "ray.data.Dataset":
     """Near-dup clusters via SimHash banding: 4 bands of 16 bits — any pair
     within Hamming distance ≤3 shares at least one band exactly (pigeonhole);
-    verify candidates by true Hamming distance. Returns a Dataset of
-    (id, cluster_id, keep).
+    candidates are verified by true Hamming distance INSIDE the bucketed
+    co-location (no driver pair list or hash dict). Docs with equal simhash
+    (Hamming 0 — always clustered) collapse to their min-id representative
+    inside each band bucket, so mass duplication costs O(n). Returns a
+    Dataset of (id, cluster_id, keep).
 
     The (id, simhash) projection — 16 bytes/doc, the only thing derived from
     text — is materialized ONCE in the object store (distributed, spillable)
-    and reused for the band explode, the candidate-only hash fetch, and the
-    cluster assignment, so the corpus text is hashed exactly once and never
-    reaches the driver."""
+    and reused for the band explode, the representative map, the verify
+    payload stream and the cluster assignment; the corpus text is hashed
+    exactly once and never reaches the driver. The payload side streams the
+    FULL (id, simhash) table through the verify co-location (16 B/doc —
+    cheaper than assembling a candidate filter), so this path does not pull
+    even the candidate-id set to the driver."""
     tbl = simhash_table(ds, id_col, text_col).materialize()
+    id_type = _id_type(tbl, id_col)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -445,29 +721,130 @@ def simhash_dedup(
                 & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table({"band": pa.array(bands, pa.int32()),
                          "key": pa.array(keys, pa.int32()),
-                         id_col: t[id_col].take(pa.array(idx))})
+                         id_col: t[id_col].take(pa.array(idx)),
+                         "simhash": t["simhash"].take(pa.array(idx))})
 
-    cand = _bucket_pairs(
-        tbl.map_batches(explode, batch_format="pyarrow"), ["band", "key"], id_col
-    ).drop_duplicates(["a", "b"])
-    if len(cand):
-        cand_arr = pa.array(list(set(cand["a"]) | set(cand["b"])))
-        sub = to_arrow_single(
-            tbl.map_batches(
-                lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=cand_arr)),
-                batch_format="pyarrow",
-            )
+    rep_map = _rep_map(tbl, id_col, "simhash")
+    pairs = _pair_dataset(
+        tbl.map_batches(explode, batch_format="pyarrow"), ["band", "key"],
+        id_col, id_type, collapse_col="simhash",
+        max_bucket_size=max_bucket_size,
+    ).materialize()
+    if pairs.count():
+        payload = tbl.map_batches(
+            lambda t: pa.table({id_col: t[id_col],
+                                "payload": t["simhash"]}),
+            batch_format="pyarrow",
         )
-        hmap = dict(zip(sub[id_col].to_pylist(), sub["simhash"].to_pylist()))
-        mask64 = (1 << 64) - 1
-        hd = np.array([T.hamming64(hmap[a] & mask64, hmap[b] & mask64)
-                       for a, b in zip(cand["a"], cand["b"])])
-        verified = cand[hd <= max_hamming]
+        scored = _verify_pairs(pairs, payload, id_col, id_type, pa.int64(),
+                               _hamming_payload)
+        verified = scored.map_batches(
+            lambda t: t.filter(pc.less_equal(t["score"], float(max_hamming)))
+                       .select(["a", "b"]),
+            batch_format="pyarrow",
+        )
     else:
-        verified = cand
-    if len(verified) > distributed_cluster_above:
-        return _assign_clusters_distributed(tbl, id_col, propagate_clusters(verified))
-    return _assign_clusters(tbl, id_col, _clusters_from_pairs(verified))
+        verified = pairs
+    return _cluster_assign(rep_map, verified, id_col, distributed_cluster_above)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard pairs
+# --------------------------------------------------------------------------
+
+def _expand_class_pairs(
+    verified: "ray.data.Dataset",
+    mem: "ray.data.Dataset",
+    id_type: pa.DataType,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Cross-expand verified representative pairs over exact-duplicate
+    classes: (ra, rb, j) → class(ra) × class(rb), each with the same exact
+    Jaccard (members are byte-identical to their rep). Same two-hop bucketed
+    co-location as verification; ``mem`` holds (rep, members=[non-rep dups])
+    for reps that HAVE duplicates — absent reps are singleton classes."""
+    mem_type = pa.list_(id_type)
+    hop1_empty = pa.table({"key": pa.array([], id_type),
+                           "j": pa.array([], pa.float64()),
+                           "mem": pa.array([], mem_type),
+                           "kind": pa.array([], pa.int8())})
+    out_empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type),
+                          "jaccard": pa.array([], pa.float64())})
+
+    def pairs_stream(t: pa.Table) -> pa.Table:
+        # class(a) seeds with [a] itself; duplicates attach in the merge
+        n = t.num_rows
+        seed = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1), pa.int32()),
+            t["a"].combine_chunks(),
+        ).cast(mem_type)
+        return pa.table({"key": t["a"].combine_chunks(),
+                         "other": t["b"].combine_chunks(),
+                         "j": t["jaccard"].combine_chunks(),
+                         "mem": seed,
+                         "kind": pa.array(np.zeros(n, np.int8))})
+
+    def mem_stream(t: pa.Table) -> pa.Table:
+        reps = t["rep"].combine_chunks()
+        return pa.table({"key": reps,
+                         "other": reps,
+                         "j": pa.array(np.zeros(t.num_rows), pa.float64()),
+                         "mem": t["members"].combine_chunks().cast(mem_type),
+                         "kind": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["kind"] == 0]
+        if not len(pr):
+            return hop1_empty
+        mm = g[g["kind"] == 1].drop_duplicates("key").set_index("key")["mem"]
+        out_mem = []
+        for k, seed in zip(pr["key"], pr["mem"]):
+            extra = mm.get(k)
+            out_mem.append(list(seed) + (list(extra) if extra is not None else []))
+        return pa.table({"key": pa.array(pr["other"].to_numpy(), id_type),
+                         "j": pa.array(pr["j"].to_numpy(), pa.float64()),
+                         "mem": pa.array(out_mem, mem_type),
+                         "kind": pa.array(np.zeros(len(pr), np.int8))})
+
+    def attach_b_expand(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["kind"] == 0]
+        if not len(pr):
+            return out_empty
+        mm = g[g["kind"] == 1].drop_duplicates("key").set_index("key")["mem"]
+        a_out, b_out, j_out = [], [], []
+        for k, a_list, j in zip(pr["key"], pr["mem"], pr["j"]):
+            extra = mm.get(k)
+            b_list = [k] + (list(extra) if extra is not None else [])
+            a_arr = np.asarray(list(a_list) * len(b_list), dtype=object)
+            b_arr = np.asarray(np.repeat(np.asarray(b_list, dtype=object),
+                                         len(a_list)), dtype=object)
+            a_out.append(a_arr)
+            b_out.append(b_arr)
+            j_out.append(np.full(len(a_arr), j, dtype=np.float64))
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({"a": pa.array(a2, id_type),
+                         "b": pa.array(b2, id_type),
+                         "jaccard": pa.array(np.concatenate(j_out), pa.float64())})
+
+    s_mem1 = mem.map_batches(mem_stream, batch_format="pyarrow")
+    s_pairs = verified.map_batches(pairs_stream, batch_format="pyarrow")
+    hop1 = bucketed_merge(s_pairs.union(s_mem1), ["key"], attach_a, num_buckets)
+
+    def mem_stream2(t: pa.Table) -> pa.Table:
+        reps = t["rep"].combine_chunks()
+        return pa.table({"key": reps,
+                         "j": pa.array(np.zeros(t.num_rows), pa.float64()),
+                         "mem": t["members"].combine_chunks().cast(mem_type),
+                         "kind": pa.array(np.ones(t.num_rows, np.int8))})
+
+    s_mem2 = mem.map_batches(mem_stream2, batch_format="pyarrow")
+    return bucketed_merge(hop1.union(s_mem2), ["key"], attach_b_expand,
+                          num_buckets)
 
 
 def ngram_jaccard_pairs(
@@ -476,21 +853,101 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_k: int = 3,
-    **lsh_kwargs,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = MAX_LSH_BUCKET,
 ) -> pd.DataFrame:
     """(a, b, jaccard) for pairs with exact word-n-gram Jaccard ≥ threshold,
-    candidate-pruned by MinHash-LSH (the scale path — no O(n²) scan). Shingle
-    sets are fetched for candidate docs only (:func:`_candidate_shingles`);
-    the returned pair list is small by construction."""
-    cand = lsh_candidate_pairs(ds, id_col, text_col, shingle_k=shingle_k, **lsh_kwargs)
-    if not len(cand):
-        return pd.DataFrame(columns=["a", "b", "jaccard"])
-    smap = _candidate_shingles(
-        ds, id_col, text_col, set(cand["a"]) | set(cand["b"]), shingle_k
+    candidate-pruned by MinHash-LSH (the scale path — no O(n²) scan).
+    Verification runs distributed (:func:`_verify_pairs`); exact-duplicate
+    classes collapse to representatives for candidate generation and the
+    answer re-expands over the class members afterwards (intra-class pairs
+    at Jaccard 1.0 plus the cross product of each verified rep pair) — work
+    is O(reps² within buckets + |answer|), the information-theoretic floor.
+    The returned pair list is small by construction (it is the answer)."""
+    import functools
+
+    exploded = ds.map_batches(
+        functools.partial(minhash_explode, id_col=id_col, text_col=text_col,
+                          num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                          with_md5=True),
+        batch_format="pyarrow",
+    ).materialize()
+    id_type = _id_type(exploded, id_col)
+    out_cols = ["a", "b", "jaccard"]
+    empty_out = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type),
+                          "jaccard": pa.array([], pa.float64())})
+    id_md5 = exploded.map_batches(
+        lambda t: t.filter(pc.equal(t["band"], 0)).select([id_col, "__md5"]),
+        batch_format="pyarrow",
     )
-    jac = np.array([T.jaccard(smap[a], smap[b]) for a, b in zip(cand["a"], cand["b"])])
-    out = cand.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    rep_map = _rep_map(id_md5, id_col, "__md5").materialize()
+    dup_members = rep_map.map_batches(
+        lambda t: t.filter(pc.not_equal(t[id_col], t["rep"])),
+        batch_format="pyarrow",
+    ).materialize()
+    n_dup = dup_members.count()
+
+    pairs = _pair_dataset(exploded, ["band", "band_hash"], id_col, id_type,
+                          collapse_col="__md5",
+                          max_bucket_size=max_bucket_size).materialize()
+    if pairs.count():
+        cand_ids = _distinct_pair_ids(pairs, id_col)
+        payload = _shingle_payload(ds, id_col, text_col, cand_ids, shingle_k)
+        scored = _verify_pairs(pairs, payload, id_col, id_type,
+                               pa.large_binary(), _jaccard_payload)
+        verified = scored.map_batches(
+            lambda t: (lambda s: pa.table({"a": s["a"], "b": s["b"],
+                                           "jaccard": s["score"]}))(
+                t.filter(pc.greater_equal(t["score"], threshold))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        verified = ray.data.from_arrow(empty_out)
+
+    if n_dup == 0:
+        out = verified
+    else:
+        def mem_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby("rep", sort=False)[id_col]
+                    .agg(lambda s: sorted(s.tolist()))
+                    .reset_index().rename(columns={id_col: "members"}))
+
+        def mem_merge(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("rep", sort=False)["members"]
+                    .agg(lambda ls: sorted(x for l in ls for x in l))
+                    .reset_index())
+
+        mem = grouped_agg(dup_members, ["rep"], mem_partial,
+                          mem_merge).materialize()
+
+        def intra_pairs(t: pa.Table) -> pa.Table:
+            a_out, b_out = [], []
+            reps = t["rep"].to_pylist()
+            for rep, members in zip(reps, t["members"].to_pylist()):
+                cls = np.asarray([rep] + list(members), dtype=object)
+                iu, ju = np.triu_indices(len(cls), k=1)
+                a_out.append(cls[iu])
+                b_out.append(cls[ju])
+            a = np.concatenate(a_out) if a_out else np.empty(0, object)
+            b = np.concatenate(b_out) if b_out else np.empty(0, object)
+            return pa.table({"a": pa.array(a, id_type),
+                             "b": pa.array(b, id_type),
+                             "jaccard": pa.array(np.ones(len(a)), pa.float64())})
+
+        frames = [mem.map_batches(intra_pairs, batch_format="pyarrow")]
+        if verified.count():
+            frames.append(_expand_class_pairs(verified, mem, id_type))
+        out = frames[0].union(*frames[1:]) if len(frames) > 1 else frames[0]
+
+    df = to_arrow_single(out).to_pandas()
+    if not len(df):
+        return pd.DataFrame({c: pd.Series(dtype="float64" if c == "jaccard"
+                                          else "object") for c in out_cols})
+    return (df[out_cols].sort_values(["a", "b"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 # --------------------------------------------------------------------------

@@ -362,7 +362,16 @@ UNIQ_BUCKETED_ABOVE = 5_000_000
 _UNIQ_KEYS = ["repo", "path", "commit"]
 
 
-def _triple_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
+def _polars_available() -> bool:
+    try:
+        import polars  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _triple_hash(t: pa.Table, keys: list[str], use_polars: bool) -> np.ndarray:
     """Vectorized 64-bit hash of the full key tuple per row. Hashing the FULL
     triple (not one column) keeps the prefilter selective even when one key
     component (e.g. a commit sha spanning many files) repeats across rows —
@@ -371,19 +380,21 @@ def _triple_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
 
     Fast path: polars ``hash_rows`` — Rust row hashing zero-copy from Arrow
     (the pandas path materializes every key as a Python string and hashes
-    object-by-object, ~10× slower at corpus scale). Hashes only need to be
-    consistent within one run (all workers share the polars version)."""
-    try:
+    object-by-object, ~10× slower at corpus scale). ``use_polars`` is decided
+    ONCE on the driver and shipped with the stage (ADVICE r2): a per-worker
+    try/except would let stage-1 partial hashes disagree with the stage-2
+    filter on a heterogeneous cluster and silently miss duplicates — here a
+    worker missing polars fails loudly instead."""
+    if use_polars:
         import polars as pl
 
         return pl.from_arrow(t.select(keys)).hash_rows(seed=0).to_numpy()
-    except Exception:
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        for c in keys:
-            h = h * np.uint64(1000003) + pd.util.hash_array(
-                np.asarray(t[c].to_pandas())
-            ).astype(np.uint64)
-        return h
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in keys:
+        h = h * np.uint64(1000003) + pd.util.hash_array(
+            np.asarray(t[c].to_pandas())
+        ).astype(np.uint64)
+    return h
 
 
 def uniqueness_violations(
@@ -414,14 +425,18 @@ def _uniq_reads(files: list[str]):
 class _HashPartialPool:
     """Key-scan stage 1: (repo,path,commit,part) block → per-block
     (hash, n, part_min) partials. Callable both as a stateless fn (small
-    sessions) and as an actor-pool class (large sessions)."""
+    sessions) and as an actor-pool class (large sessions). The hash
+    implementation choice is probed on the driver and passed in."""
+
+    def __init__(self, use_polars: bool):
+        self.use_polars = use_polars
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"h": pa.array([], pa.uint64()),
                              "n": pa.array([], pa.int64()),
                              "part": pa.array([], pa.int64())})
-        df = pd.DataFrame({"h": _triple_hash(t, _UNIQ_KEYS),
+        df = pd.DataFrame({"h": _triple_hash(t, _UNIQ_KEYS, self.use_polars),
                            "part": t["part"].to_numpy()})
         g = df.groupby("h", sort=False).agg(
             n=("part", "size"), part=("part", "min")
@@ -435,13 +450,14 @@ class _FetchCandidatesPool:
     """Key-scan stage 2: keep rows whose triple-hash is in the (broadcast)
     duplicate-hash set."""
 
-    def __init__(self, dup_hashes: pa.Array):
+    def __init__(self, dup_hashes: pa.Array, use_polars: bool):
         self.dup_hashes = dup_hashes
+        self.use_polars = use_polars
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        h = pa.array(_triple_hash(t, _UNIQ_KEYS), pa.uint64())
+        h = pa.array(_triple_hash(t, _UNIQ_KEYS, self.use_polars), pa.uint64())
         return t.filter(pc.is_in(h, value_set=self.dup_hashes))
 
 
@@ -468,14 +484,21 @@ def _uniqueness_from_datasets(
     # pool — same worker-rotation/arena-re-fault pathology as the content
     # pass (see _DerivePool); at small CPU counts plain fused tasks win
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    use_polars = _polars_available()  # decided once, on the driver
     heavy_kwargs: dict[str, Any] = (
         {"concurrency": min(8, max(4, ncpu // 4))} if ncpu > 16 else {}
     )
 
-    partials = pre.map_batches(
-        _HashPartialPool if ncpu > 16 else _HashPartialPool(),
-        batch_format="pyarrow", batch_size=None, **heavy_kwargs,
-    ).materialize()
+    if ncpu > 16:
+        partials = pre.map_batches(
+            _HashPartialPool, fn_constructor_args=(use_polars,),
+            batch_format="pyarrow", batch_size=None, **heavy_kwargs,
+        ).materialize()
+    else:
+        partials = pre.map_batches(
+            _HashPartialPool(use_polars),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
     n_partials = partials.count()
 
     def merge_dups(g: pd.DataFrame) -> pd.DataFrame:
@@ -501,12 +524,12 @@ def _uniqueness_from_datasets(
 
     if ncpu > 16:
         fetch_stage = ds.map_batches(
-            _FetchCandidatesPool, fn_constructor_args=(dup_hashes,),
+            _FetchCandidatesPool, fn_constructor_args=(dup_hashes, use_polars),
             batch_format="pyarrow", batch_size=None, **heavy_kwargs,
         )
     else:
         fetch_stage = ds.map_batches(
-            _FetchCandidatesPool(dup_hashes),
+            _FetchCandidatesPool(dup_hashes, use_polars),
             batch_format="pyarrow", batch_size=None,
         )
     cand = to_arrow_single(fetch_stage).to_pandas()

@@ -48,14 +48,20 @@ def q_uniqueness_summary(sf_dir: str):
     rows = []
     for tname, keys in specs:
         ds = read_table(sf_dir, tname, columns=keys)
-        # counts stay a (materialized, distributed) Dataset; only the two
-        # scalar counts reach the driver — the distinct-key set never does
-        counts = group_count(ds, keys, out_col="n").materialize()
-        n_keys = counts.count()
-        n_dup = counts.map_batches(
-            lambda t: t.filter(pa.compute.greater(t["n"], 1)),
-            batch_format="pyarrow",
-        ).count()
+        # both scalars fold in ONE pass over the distributed counts (a
+        # per-block partial, then a tiny driver sum) — the distinct-key set
+        # never reaches the driver and the counts stream is consumed once
+        counts = group_count(ds, keys, out_col="n")
+
+        def scalar_partial(t: pa.Table) -> pa.Table:
+            dup = pa.compute.sum(
+                pa.compute.cast(pa.compute.greater(t["n"], 1), pa.int64())
+            ).as_py()
+            return pa.table({"n_keys": pa.array([t.num_rows], pa.int64()),
+                             "n_dup": pa.array([int(dup or 0)], pa.int64())})
+
+        parts = counts.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+        n_keys, n_dup = int(parts["n_keys"].sum()), int(parts["n_dup"].sum())
         rows.append(
             {
                 "table_name": tname,

@@ -87,15 +87,23 @@ def read_table(
         # multi-stage pipeline 3× slower than at 8. The cap scales with the
         # cluster (≥16, up to 4×CPUs) so big tables keep full parallelism.
         try:
+            import math as _math
+
             import pyarrow.parquet as _pq
 
             import ray as _ray
 
             n = _pq.ParquetFile(path).metadata.num_rows
             cap = 16
+            ncpu = 4
             if _ray.is_initialized():
-                cap = max(16, 4 * int(_ray.cluster_resources().get("CPU", 4)))
-            kwargs["override_num_blocks"] = int(max(1, min(cap, n // 50_000)))
+                ncpu = int(_ray.cluster_resources().get("CPU", 4))
+                cap = max(16, 4 * ncpu)
+            # floor at min(num_cpus, ceil(n/10k)) — a flat floor of 1 would
+            # serialize every downstream compute-heavy stage for small tables
+            # (ADVICE r2); the 50k divisor still bounds micro-blocking.
+            floor = min(ncpu, max(1, _math.ceil(n / 10_000)))
+            kwargs["override_num_blocks"] = int(max(floor, min(cap, n // 50_000)))
         except Exception:
             pass
     return ray.data.read_parquet(path, columns=list(columns) if columns else None, **kwargs)

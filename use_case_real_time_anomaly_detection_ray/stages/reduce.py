@@ -59,7 +59,11 @@ def bucketed_merge(
     bucketed = partials.map_batches(add_bucket, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        return _pd_to_arrow(merge_fn(g.drop(columns=[_BUCKET])))
+        out = merge_fn(g.drop(columns=[_BUCKET]))
+        # merge_fn may return Arrow directly — needed when the output can be
+        # empty and pandas type inference would degrade the schema (an empty
+        # object column becomes arrow null and breaks downstream unions)
+        return out if isinstance(out, pa.Table) else _pd_to_arrow(out)
 
     return bucketed.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
 
