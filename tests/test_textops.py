@@ -272,6 +272,55 @@ def test_ivf_partial_probe_self_hit_and_recall(ray_session):
     assert recall >= 0.4  # 3/8 of the lists scanned
 
 
+def test_lsh_cosine_pairs_match_exact(ray_session):
+    """The LSH-bucketed near-dup path reproduces the exact block-pair scan —
+    recall 1.0 at threshold AND bitwise-identical cosines — on a fixture with
+    planted near-dups (16 bands × 4 planes at threshold 0.9: per-pair miss
+    probability (1-p⁴)^16 ≈ 2e-4 · deterministic seed makes it exact here)."""
+    rng = np.random.default_rng(14)
+    m = rng.normal(size=(80, 12))
+    for src, dst in ((3, 40), (11, 41), (25, 42)):
+        m[dst] = m[src] + rng.normal(scale=5e-2, size=12)
+    df = pd.DataFrame({"vec_id": range(80),
+                       "embedding": [r.astype("float64") for r in m]})
+    ds = ray.data.from_pandas([df.iloc[:30], df.iloc[30:60], df.iloc[60:]])
+    exact = ann.cosine_near_dup_pairs(ds, threshold=0.9)
+    bucketed = ann.cosine_near_dup_pairs(ds, threshold=0.9,
+                                         method="lsh_bucketed",
+                                         n_planes=4, n_bands=16)
+    pd.testing.assert_frame_equal(bucketed, exact)
+    assert {(3, 40), (11, 41), (25, 42)} <= set(zip(exact["a"], exact["b"]))
+
+
+def test_ann_recall_pinned_on_driver_tables(ray_session, sf_dir):
+    """Self-oracle for the sketch ANN paths: recall@10 of the LSH multi-band
+    and IVF queries vs exact brute force on the driver embeddings table must
+    exceed the pinned bounds (measured 0.64/0.70 at sf0.001; deterministic
+    seeds). Documented in COVERAGE.md."""
+    from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import (
+        q_ann_ivf_topk,
+        q_ann_lsh_topk,
+        q_ann_topk,
+    )
+
+    exact = q_ann_topk(sf_dir)
+    lsh = q_ann_lsh_topk(sf_dir)
+    ivf = q_ann_ivf_topk(sf_dir)
+
+    def recall(approx):
+        tot = n = 0
+        for q in exact["query_id"].unique():
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = (set(approx[approx["query_id"] == q]["vec_id"])
+                 if len(approx) else set())
+            tot += len(e & a) / len(e)
+            n += 1
+        return tot / n
+
+    assert recall(lsh) >= 0.6
+    assert recall(ivf) >= 0.6
+
+
 def test_dedup_cli_writes_partitioned_output(corpus, tmp_path, ray_session, capsys):
     """`python -m ... dedup` shape: partitioned parquet out + summary JSON."""
     import json as _json

@@ -129,33 +129,34 @@ def embedding_self_topk(
 # --------------------------------------------------------------------------
 
 def _lsh_partial(t: pa.Table, bref, id_col: str, emb_col: str, k: int,
-                 n_planes: int) -> pa.Table:
-    """Stateless per-batch LSH scorer: signature each base vector, then for
-    every query bucket present in this batch score only the rows sharing it
-    and emit that batch's per-query top-k partial. All scoring stays inside
-    the task — the driver only merges (queries × k × blocks) partial rows."""
-    query_ids, qn, qsig, planes = _fetch(bref)
+                 n_planes: int, n_bands: int) -> pa.Table:
+    """Stateless per-batch LSH scorer: band-signature each base vector, then
+    for every query score only the rows sharing ≥1 band bucket with it
+    (multi-band OR-construction) and emit that batch's per-query top-k
+    partial. All scoring stays inside the task — the driver only merges
+    (queries × k × blocks) partial rows."""
+    query_ids, qn, qsig, planes, weights = _fetch(bref)
     if t.num_rows == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
     m = _list_col_to_matrix(t[emb_col])
-    sig = (m @ planes > 0) @ (1 << np.arange(n_planes))
+    sig = (m @ planes > 0).reshape(len(m), n_bands, n_planes) @ weights
     ids = np.asarray(t[id_col].to_pylist())
+    # (n, queries): does base row share any band bucket with the query?
+    match = (sig[:, None, :] == qsig[None, :, :]).any(axis=2)
     out_q, out_id, out_cos = [], [], []
-    for bucket in np.unique(qsig):
-        rows = np.flatnonzero(sig == bucket)
+    for qi in range(qn.shape[0]):
+        rows = np.flatnonzero(match[:, qi])
         if rows.size == 0:
             continue
-        qidx = np.flatnonzero(qsig == bucket)
         bn = _normalize(m[rows])
-        cos = qn[qidx] @ bn.T  # (|qidx|, |rows|)
+        cos = qn[qi] @ bn.T
         kk = min(k, rows.size)
-        top = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
-        for r, qi in enumerate(qidx):
-            out_q.extend([query_ids[qi]] * kk)
-            out_id.extend(ids[rows[top[r]]].tolist())
-            out_cos.extend(cos[r, top[r]].tolist())
+        top = np.argpartition(-cos, kth=kk - 1)[:kk]
+        out_q.extend([query_ids[qi]] * kk)
+        out_id.extend(ids[rows[top]].tolist())
+        out_cos.extend(cos[top].tolist())
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
@@ -171,24 +172,30 @@ def lsh_bucket_topk(
     query_matrix: np.ndarray,
     k: int = 10,
     n_planes: int = 8,
+    n_bands: int = 1,
     seed: int = 13,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane signature buckets; only base
-    vectors sharing a query's bucket are scored — a 1/2^n_planes scan
-    fraction, the scale path where the brute-force matmul is infeasible.
+    """Approximate top-k: ``n_bands`` random-hyperplane signature bands of
+    ``n_planes`` bits each; only base vectors sharing ≥1 band bucket with a
+    query are scored — expected scan fraction ≈ n_bands/2^n_planes, per-pair
+    recall 1-(1-p^r)^L. The scale path where the brute-force matmul is
+    infeasible; tune (r, L) to the recall/scan trade-off (r=8, L=1 scans
+    ~0.4%; r=4, L=8 scans ~40% with recall ~0.9 on near-orthogonal data).
     Scoring happens inside ``map_batches`` (per-block top-k partials, same
     merge as :func:`brute_force_topk`); nothing but partials reaches the
     driver. Deterministic given the seed."""
     q = np.asarray(query_matrix, dtype=np.float64)
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(q.shape[1], n_planes))
-    qsig = (q @ planes > 0) @ (1 << np.arange(n_planes))
-    bref = ray.put((np.asarray(query_ids), _normalize(q), qsig, planes))
+    planes = rng.normal(size=(q.shape[1], n_bands * n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qsig = (q @ planes > 0).reshape(len(q), n_bands, n_planes) @ weights
+    bref = ray.put((np.asarray(query_ids), _normalize(q), qsig, planes, weights))
     partials = ds.map_batches(
         functools.partial(_lsh_partial, bref=bref, id_col=id_col,
-                          emb_col=emb_col, k=k, n_planes=n_planes),
+                          emb_col=emb_col, k=k, n_planes=n_planes,
+                          n_bands=n_bands),
         batch_format="pyarrow",
     ).to_pandas()
     if not len(partials):
@@ -234,20 +241,129 @@ def _block_pair_scores(ta: pa.Table, tb: pa.Table | None, threshold: float,
                      "cosine": pa.array(c[keep], pa.float64())})
 
 
+def _lsh_cosine_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """LSH-bucketed cosine near-dup pairs: each vector lands in ``n_bands``
+    buckets (one per band of ``n_planes`` random-hyperplane signs) and the
+    all-pairs matmul runs only WITHIN a bucket — the scan cost drops from
+    O(n²) to Σ bucket², with per-pair recall 1-(1-p^r)^L for per-plane
+    agreement p = 1-θ/π. The cosine of a reported pair is computed from the
+    same float64 normalize + dot as the exact block-pair path, so values are
+    bitwise identical; only recall (not precision) is approximate.
+
+    One bucketed shuffle of (band, sig, id, embedding) rows — embeddings ship
+    ``n_bands`` times; choose fewer/wider bands for cheap shuffles at high
+    thresholds (e.g. 16×8 at 0.95), more/narrower bands for near-exhaustive
+    recall at low thresholds (e.g. 32×2 at 0.4)."""
+    from ..stages.join import add_hash_bucket
+
+    head = ds.take(1)
+    if not head:
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    dim = len(np.asarray(head[0][emb_col]))
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_bands * n_planes))
+    pref = ray.put(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        m = _list_col_to_matrix(t[emb_col])
+        s = (m @ _fetch(pref) > 0).reshape(len(m), n_bands, n_planes)
+        sig = s @ weights  # (n, n_bands) int64
+        n = len(m)
+        idx = pa.array(np.repeat(np.arange(n), n_bands))
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+            "sig": pa.array(sig.ravel(), pa.int64()),
+            id_col: t[id_col].take(idx),
+            emb_col: t[emb_col].take(idx),
+        })
+
+    exploded = ds.select_columns([id_col, emb_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    bucketed = add_hash_bucket(exploded, ["band", "sig"], num_buckets)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        band = t["band"].to_numpy()
+        sig = t["sig"].to_numpy()
+        order = np.lexsort((sig, band))
+        band, sig = band[order], sig[order]
+        m = _list_col_to_matrix(t[emb_col])[order]
+        ids = np.asarray(t[id_col].to_pylist())[order]
+        seg = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (sig[1:] != sig[:-1])]
+        )
+        seg = np.r_[seg, len(band)]
+        a_out, b_out, c_out = [], [], []
+        for s0, s1 in zip(seg[:-1], seg[1:]):
+            if s1 - s0 < 2:
+                continue
+            mm = _normalize(m[s0:s1])
+            cos = mm @ mm.T
+            ai, bi = np.nonzero(np.triu(cos >= threshold, k=1))
+            if not ai.size:
+                continue
+            ia = ids[s0:s1]
+            a, b, c = ia[ai], ia[bi], cos[ai, bi]
+            swap = a > b
+            a_out.append(np.where(swap, b, a))
+            b_out.append(np.where(swap, a, b))
+            c_out.append(c)
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64()),
+                         "cosine": pa.array(np.concatenate(c_out), pa.float64())})
+
+    pairs = bucketed.groupby("__bucket").map_groups(score, batch_format="pyarrow")
+    out = pairs.to_pandas()  # ≤ n_bands × the answer — the result, not the corpus
+    if not len(out):
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    return (out.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"], kind="mergesort").reset_index(drop=True))
+
+
 def cosine_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    method: str = "block_pairs",
+    n_planes: int = 8,
+    n_bands: int = 16,
+    seed: int = 13,
 ) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
-    EXACT and distributed: the (id, embedding) projection is materialized as
-    object-store blocks, and every block pair is scored by an independent Ray
-    task (the Dataset API has no self-cross-join, so this drops to raw tasks
-    by design). The driver holds block *refs* and the resulting pair list —
-    never an embedding matrix. O(B²/2) tasks over B blocks: exact-but-
-    quadratic compute, distributed across the cluster; at corpus scale run
-    :func:`lsh_bucket_topk`-style bucketing first to bound B per bucket."""
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    ``method="block_pairs"`` — EXACT and distributed: the (id, embedding)
+    projection is materialized as object-store blocks, and every block pair
+    is scored by an independent Ray task (the Dataset API has no
+    self-cross-join, so this drops to raw tasks by design). The driver holds
+    block *refs* and the resulting pair list — never an embedding matrix.
+    O(B²/2) tasks over B blocks: exact-but-quadratic.
+
+    ``method="lsh_bucketed"`` — the scale path (:func:`_lsh_cosine_pairs`):
+    random-hyperplane band buckets bound the pair grid to Σ bucket²; cosine
+    values of reported pairs are bitwise identical to the exact path
+    (pinned by ``tests/test_textops.py::test_lsh_cosine_pairs_match_exact``),
+    recall is 1-(1-p^r)^L per pair."""
+    if method == "lsh_bucketed":
+        return _lsh_cosine_pairs(ds, threshold, id_col, emb_col,
+                                 n_planes, n_bands, seed)
     refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
     tasks = []
     for i in range(len(refs)):

@@ -152,7 +152,43 @@ def q_doc_simhash_dedup(sf_dir: str):
 
 
 def q_doc_ngram_dup_pairs(sf_dir: str):
-    return textops.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+    """Exact word-3-gram Jaccard pairs ≥ 0.3, LSH-pruned with 32 bands of 2
+    rows (recall at the data's minimum true pair, j≈0.89, is
+    1-(1-j²)^32 ≈ 1-1e-22 — verified bitwise against the exhaustive SQL
+    cross-join at sf0.001/0.01/0.1)."""
+    return textops.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3,
+                                       num_perm=64, bands=32)
+
+
+# exhaustive oracle: DuckDB cross-join over distinct word-3-gram sets (same
+# RE2-pinned tokenization as the engine; the engine hashes shingles to 64-bit
+# and computes |∩|/|∪| over the hash sets — identical counts absent 31-bit
+# collisions, which the three-scale bitwise sweep rules out for this corpus)
+SQL_DOC_NGRAM_DUP_PAIRS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE []::VARCHAR[] END AS sh
+  FROM w
+), p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.sh, y.sh)) AS i,
+         len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS u
+  FROM s x JOIN s y ON x.doc_id < y.doc_id
+)
+SELECT a, b,
+       CASE WHEN u = 0 THEN 1.0 ELSE i / CAST(u AS DOUBLE) END AS jaccard
+FROM p
+WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / CAST(u AS DOUBLE) END) >= 0.3
+"""
 
 
 def q_doc_lang_id(sf_dir: str):
@@ -218,10 +254,15 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
+    """Multi-band LSH ANN (4-bit × 8 bands: ~40% scan on near-orthogonal
+    data) — rows-only; recall@10 vs the exact oracle is pinned by
+    ``tests/test_textops.py::test_ann_recall_pinned_on_driver_tables`` and
+    recorded in COVERAGE.md."""
     emb = _embs(sf_dir)
     head = emb.sort("vec_id").limit(_ANN_QUERIES).to_pandas()
     qm = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
-    return ann.lsh_bucket_topk(emb, head["vec_id"].to_numpy(), qm, k=_ANN_K)
+    return ann.lsh_bucket_topk(emb, head["vec_id"].to_numpy(), qm, k=_ANN_K,
+                               n_planes=4, n_bands=8)
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -242,7 +283,13 @@ def q_emb_near_dup_pairs(sf_dir: str):
     # (scan with a small margin, then filter rounded >= 0.4): comparing raw
     # values would let an accumulation-order ulp flip a boundary pair in or
     # out between numpy matmul and the SQL sequential dot product.
-    out = ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4 - 1e-4).copy()
+    # Runs the LSH-BUCKETED scale path: 32 bands × 2 planes → per-pair miss
+    # probability (1-p²)^32 ≤ 7e-8 at cosine 0.4 (p = 1-θ/π ≥ 0.63), and the
+    # reported cosines are bitwise equal to the exact path — verified against
+    # the exhaustive SQL cross-join at sf0.001/0.01/0.1.
+    out = ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.4 - 1e-4,
+                                    method="lsh_bucketed",
+                                    n_planes=2, n_bands=32).copy()
     out["cosine"] = np.floor(out["cosine"] * 1e6 + 0.5) / 1e6
     return out[out["cosine"] >= 0.4].reset_index(drop=True)
 
@@ -290,10 +337,10 @@ TEXT_QUERIES = {
     "doc_text_stats": q_doc_text_stats,
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
+    "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
     # rows-only:
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_simhash_dedup": q_doc_simhash_dedup,
-    "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -308,6 +355,7 @@ TEXT_ORACLE = {
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
 }
