@@ -111,21 +111,6 @@ def _finalize_tbl(t: pa.Table, anomaly_type: str, notes) -> pa.Table:
     )
 
 
-def _finalize(df: pd.DataFrame, anomaly_type: str, notes) -> pa.Table:
-    """Project to the copy-log contract as a typed Arrow table (typed even when
-    empty, so downstream schema unification never sees object columns)."""
-    return pa.table(
-        {
-            "id": pa.array(df["id"].to_numpy(dtype="int64", na_value=0), pa.int64()),
-            "timestamp": pa.Array.from_pandas(df["timestamp"], type=pa.timestamp("us")),
-            "value": pa.array(df["value"].to_numpy(dtype="float64"), pa.float64()),
-            "anomaly_type": pa.array([anomaly_type] * len(df), pa.string()),
-            "note": pa.array(list(notes), pa.string()),
-        },
-        schema=LOG_SCHEMA,
-    )
-
-
 # ---------------------------------------------------------------------------
 # 1. out-of-range  (copy_out_of_range.pipe:24-47; endpoint out_of_range.pipe)
 # ---------------------------------------------------------------------------
@@ -227,23 +212,29 @@ def rate_of_change(
     win = _window_filter(ds, lo, sensor_id=params.sensor_id)
     lagged = lag_shift(win, "id", "timestamp", ["timestamp", "value"])
 
-    def slope_filter(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return _finalize(df, "rate-of-change", [])
-        dt_s = timestamp_delta_seconds(df["timestamp"], df["previous_timestamp"])
+    def slope_filter(t: pa.Table) -> pa.Table:
+        # Arrow-native: first-row-per-sensor (no previous) drops via is_valid;
+        # the μs-int delta matches timestamp_delta_seconds bitwise
+        t = t.filter(pc.is_valid(t["previous_timestamp"]))
+        if t.num_rows == 0:
+            return _finalize_tbl(t, "rate-of-change", [])
+        a = t["timestamp"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        b = (t["previous_timestamp"].cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy())
+        dt_s = (a - b).astype("float64") / 1e6
+        vdiff = (t["value"].to_numpy(zero_copy_only=False)
+                 - t["previous_value"].to_numpy(zero_copy_only=False))
         with np.errstate(divide="ignore", invalid="ignore"):
-            slope = (df["value"] - df["previous_value"]) / dt_s
-        vdiff = df["value"] - df["previous_value"]
-        # NaN (first row) compares False; Δt==0 (duplicate (id, ts)) is masked
-        # explicitly — IEEE slope=±inf vs SQL NULL would otherwise make the
-        # flag data-dependent (ADVICE r1)
+            slope = vdiff / dt_s
+        # Δt==0 (duplicate (id, ts)) is masked explicitly — IEEE slope=±inf
+        # vs SQL NULL would otherwise make the flag data-dependent (ADVICE r1)
         keep = (np.abs(slope) > params.max_slope) & (dt_s != 0)
-        df, slope, vdiff = df[keep], slope[keep], vdiff[keep]
+        sub = t.filter(pa.array(keep))
         notes = [scalar.note_rate_of_change(s, params.max_slope, v)
-                 for s, v in zip(slope, vdiff)]
-        return _finalize(df, "rate-of-change", notes)
+                 for s, v in zip(slope[keep], vdiff[keep])]
+        return _finalize_tbl(sub, "rate-of-change", notes)
 
-    return lagged.map_batches(slope_filter, batch_format="pandas")
+    return lagged.map_batches(slope_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -337,19 +328,23 @@ def z_score(
     joined = broadcast_join(win, stats, on=["id"], how="inner")
     t = params.zscore_threshold
 
-    def score(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return _finalize(df, "z-score", [])
+    def score(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _finalize_tbl(tbl, "z-score", [])
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        avg = tbl["average"].to_numpy(zero_copy_only=False)
+        sd = tbl["std_dev"].to_numpy(zero_copy_only=False)
         with np.errstate(divide="ignore", invalid="ignore"):
-            z = (df["value"] - df["average"]) / df["std_dev"]
-        keep = ((z < -t) | (z > t)) & (df["std_dev"] != 0)
-        df, z = df[keep], z[keep]
-        avg_r = np.round(df["average"], 2)  # ROUND(...,2), copy_z_score.pipe:39-40
-        std_r = np.round(df["std_dev"], 2)
-        notes = [scalar.note_z_score(zz, t, a, s) for zz, a, s in zip(z, avg_r, std_r)]
-        return _finalize(df, "z-score", notes)
+            z = (val - avg) / sd
+        keep = ((z < -t) | (z > t)) & (sd != 0)
+        sub = tbl.filter(pa.array(keep))
+        avg_r = np.round(avg[keep], 2)  # ROUND(...,2), copy_z_score.pipe:39-40
+        std_r = np.round(sd[keep], 2)
+        notes = [scalar.note_z_score(zz, t, a, s)
+                 for zz, a, s in zip(z[keep], avg_r, std_r)]
+        return _finalize_tbl(sub, "z-score", notes)
 
-    return joined.map_batches(score, batch_format="pandas")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -422,17 +417,20 @@ def iqr(
     win = _window_filter(ds, lo, hi, sensor_id=params.sensor_id)
     joined = broadcast_join(win, stats, on=["id"], how="inner")
 
-    def fence(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return _finalize(df, "interquartile-range", [])
-        keep = (df["value"] > df["upper_raw"]) | (df["value"] < df["lower_raw"])
-        df = df[keep]
-        lo_b = np.round(df["lower_raw"], 2)
-        hi_b = np.round(df["upper_raw"], 2)
+    def fence(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _finalize_tbl(t, "interquartile-range", [])
+        val = t["value"].to_numpy(zero_copy_only=False)
+        lo_raw = t["lower_raw"].to_numpy(zero_copy_only=False)
+        hi_raw = t["upper_raw"].to_numpy(zero_copy_only=False)
+        keep = (val > hi_raw) | (val < lo_raw)
+        sub = t.filter(pa.array(keep))
+        lo_b = np.round(lo_raw[keep], 2)
+        hi_b = np.round(hi_raw[keep], 2)
         notes = [scalar.note_iqr(l, h) for l, h in zip(lo_b, hi_b)]
-        return _finalize(df, "interquartile-range", notes)
+        return _finalize_tbl(sub, "interquartile-range", notes)
 
-    hits = joined.map_batches(fence, batch_format="pandas")
+    hits = joined.map_batches(fence, batch_format="pyarrow")
     return distinct_rows(hits, ["id", "timestamp", "value", "anomaly_type", "note"])
 
 

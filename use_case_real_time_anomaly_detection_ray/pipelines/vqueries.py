@@ -196,7 +196,7 @@ def q_pricing_summary(sf_dir: str):
             sum_disc_price=("_disc_price", "sum"),
             n=("l_quantity", "size"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
     agg = parts.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(

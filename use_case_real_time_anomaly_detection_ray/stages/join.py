@@ -48,7 +48,7 @@ def _broadcast_merge(batch: pd.DataFrame, ref, on: list[str], how: str) -> pa.Ta
         batch = batch.merge(small, on=on, how=how, sort=False)
     else:
         batch = batch.merge(small.iloc[0:0], on=on, how="left", sort=False)
-    return pa.Table.from_pandas(batch, preserve_index=False)
+    return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
 
 
 def broadcast(df: pd.DataFrame) -> "ray.ObjectRef":
@@ -86,7 +86,7 @@ def _semi_anti_filter(batch: pd.DataFrame, ref, on: list[str], anti: bool) -> pa
                  else pd.Index(batch[on[0]]))
         mask = probe.isin(index)
         batch = batch[~mask] if anti else batch[mask]
-    return pa.Table.from_pandas(batch, preserve_index=False)
+    return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
 
 
 def broadcast_semi_anti(
@@ -173,6 +173,6 @@ def bucketed_join(
         lg = g[g["__side"] == 0][lcols]
         rg = g[g["__side"] == 1][on + [f"__r_{c}" for c in r_extra]]
         rg = rg.rename(columns={f"__r_{c}": c for c in r_extra})
-        return pa.Table.from_pandas(lg.merge(rg, on=on, how=how, sort=False), preserve_index=False)
+        return pa.Table.from_pandas(lg.merge(rg, on=on, how=how, sort=False), preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
