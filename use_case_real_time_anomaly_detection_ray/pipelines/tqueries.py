@@ -144,7 +144,55 @@ FROM ranked WHERE rn <= {_ANN_K}
 # --------------------------------------------------------------------------
 
 def q_doc_minhash_dedup(sf_dir: str):
-    return textops.minhash_dedup(_docs(sf_dir), threshold=0.5)
+    """MinHash-LSH dedup with exact-Jaccard verification. Because the verify
+    step recomputes the TRUE word-3-gram Jaccard for every candidate, the
+    cluster output equals connected components over all pairs with exact
+    Jaccard ≥ 0.5 whenever LSH recall holds — which SQL *can* express
+    (recursive-CTE transitive closure). 32 bands × 2 rows puts the per-pair
+    miss at ≤1e-4 at j=0.5 and ~1e-22 at the data's minimum true pair
+    (j≈0.89); verified bitwise at sf0.001/0.01 vs the SQL oracle and at
+    sf0.1 vs an exact inverted-index + union-find computation."""
+    return textops.minhash_dedup(_docs(sf_dir), threshold=0.5,
+                                 num_perm=64, bands=32)
+
+
+# exhaustive oracle: exact-Jaccard pairs (same tokenization as the engine)
+# → symmetric edge list + self-loops → transitive closure via a recursive
+# CTE → cluster_id = min reachable doc_id, keep = (doc_id == cluster_id).
+# Components here are tiny cliques, so the closure is small and converges in
+# 2-3 recursion rounds.
+SQL_DOC_MINHASH_DEDUP = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE []::VARCHAR[] END AS sh
+  FROM w
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM s x JOIN s y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))
+        / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        >= 0.5
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+  UNION ALL SELECT doc_id, doc_id FROM documents
+), r(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id, (u = min(v)) AS keep
+FROM r GROUP BY u
+"""
 
 
 def q_doc_simhash_dedup(sf_dir: str):
@@ -338,8 +386,8 @@ TEXT_QUERIES = {
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
     "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
-    # rows-only:
     "doc_minhash_dedup": q_doc_minhash_dedup,
+    # rows-only:
     "doc_simhash_dedup": q_doc_simhash_dedup,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -356,6 +404,7 @@ TEXT_ORACLE = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
+    "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
 }

@@ -207,58 +207,59 @@ def _moments_partial_fn(min_len: int, max_len: int):
     return partial
 
 
-def repo_part_moments(light: "ray.data.Dataset", cfg: ValidationConfig) -> pd.DataFrame:
-    """Merged (part, repo) moments: n, mean, stddevPop, min, max. Partials are
-    tiny, so the final merge happens driver-side (the broadcast-side pattern,
-    SURVEY.md §2.4 J1)."""
-    parts = light.map_batches(
-        _moments_partial_fn(cfg.min_len, cfg.max_len), batch_format="pandas"
-    ).to_pandas()
+
+
+
+def combined_light_stats(
+    light: "ray.data.Dataset", cfg: ValidationConfig
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """moments + lang-histogram + null-rate inputs in ONE pass over the
+    materialized light table (they were three separate scans; the per-pass
+    fixed cost is what keeps the 4→16 scaling below the ceiling — ADVICE
+    r2/VERDICT #4). One per-block groupby over (part, repo, lang) carries
+    all the sufficient statistics; the driver derives the three frames from
+    the tiny merged partials. Returns (stats, lang_stats, null_stats) with
+    the shapes the gate stages consume: (part, repo, n, s, s2, mn, mx) /
+    (part, lang, n) / (part, n, n_null)."""
+    min_len, max_len = cfg.min_len, cfg.max_len
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        L = df["content_length"].astype("float64")
+        ok = (L >= min_len) & (L <= max_len)
+        base = df.assign(
+            _l=L.where(ok),  # out-of-range rows quarantined from the moments
+            _ok=ok.astype("int64"),
+            _nn=(L.isna() | (L == 0)).astype("int64"),
+        )
+        base["_l2"] = base["_l"] * base["_l"]
+        g = base.groupby(["part", "repo", "lang"], sort=False).agg(
+            n_all=("_ok", "size"), n=("_ok", "sum"),
+            s=("_l", "sum"), s2=("_l2", "sum"),
+            mn=("_l", "min"), mx=("_l", "max"),
+            n_null=("_nn", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = light.map_batches(partial, batch_format="pandas",
+                              batch_size=None).to_pandas()
     if len(parts) == 0:
-        return pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"])
-    agg = parts.groupby(["part", "repo"], sort=False).agg(
+        return (
+            pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"]),
+            pd.DataFrame(columns=["part", "lang", "n"]),
+            pd.DataFrame(columns=["part", "n", "n_null"]),
+        )
+    stats = parts.groupby(["part", "repo"], sort=False).agg(
         n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
         mn=("mn", "min"), mx=("mx", "max"),
     ).reset_index()
-    return agg
-
-
-def lang_counts(light: "ray.data.Dataset") -> pd.DataFrame:
-    """Per-(part, lang) row counts — the lang-frequency histogram input for
-    the distribution gates (north_star: 'lang-frequency histograms' flagged
-    exactly as the reference flags timeseries points). Partials per block,
-    tiny driver merge."""
-
-    def partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(["part", "lang"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    parts = light.map_batches(partial, batch_format="pandas",
-                              batch_size=None).to_pandas()
-    if len(parts) == 0:
-        return pd.DataFrame(columns=["part", "lang", "n"])
-    return parts.groupby(["part", "lang"], sort=False)["n"].sum().reset_index()
-
-
-def null_counts(light: "ray.data.Dataset") -> pd.DataFrame:
-    """Per-part (n_rows, n_null) where 'null' = NULL content or zero length —
-    the null/empty-content-rate input (SURVEY.md §7: the range check's
-    companion). Partials per block, tiny driver merge."""
-
-    def partial(df: pd.DataFrame) -> pa.Table:
-        ln = df["content_length"]
-        nn = (ln.isna() | (ln == 0)).to_numpy().astype("int64")
-        g = pd.DataFrame({"part": df["part"].to_numpy(), "nn": nn})
-        out = g.groupby("part", sort=False).agg(
-            n=("nn", "size"), n_null=("nn", "sum")
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    parts = light.map_batches(partial, batch_format="pandas",
-                              batch_size=None).to_pandas()
-    if len(parts) == 0:
-        return pd.DataFrame(columns=["part", "n", "n_null"])
-    return parts.groupby("part", sort=False)[["n", "n_null"]].sum().reset_index()
+    stats = stats[stats["n"] > 0].reset_index(drop=True)  # all-quarantined groups
+    lang_stats = (parts.groupby(["part", "lang"], sort=False)["n_all"].sum()
+                  .reset_index().rename(columns={"n_all": "n"}))
+    null_stats = (parts.groupby("part", sort=False)
+                  .agg(n=("n_all", "sum"), n_null=("n_null", "sum"))
+                  .reset_index())
+    return stats, lang_stats, null_stats
 
 
 def null_rate_violations(null_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.Table:
@@ -811,15 +812,21 @@ def run(
 
         rv_thread = threading.Thread(target=_run_range, daemon=True)
         rv_thread.start()
-        new_stats = repo_part_moments(light, cfg)
-        new_lang = lang_counts(light)
-        new_null = null_counts(light)
+        # moments + lang histogram + null rates fused into one scan (three
+        # separate passes before; the fixed per-pass cost capped 4→16 scaling)
+        new_stats, new_lang, new_null = combined_light_stats(light, cfg)
         rv_thread.join()
         if "e" in rv_box:
             raise rv_box["e"]
         rv = rv_box["t"]
         _mark("range+moments")
-        for p in todo:
+        import shutil
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_part(p: int) -> tuple[int, int]:
+            """Atomic per-partition violations write (parquet releases the
+            GIL, so the 48 writes overlap in threads instead of serializing
+            on the driver — a fixed per-run cost at any CPU count)."""
             pv = rv[rv["part"] == p] if len(rv) else rv
             pdir = os.path.join(out_dir, "violations", f"part={p}")
             tmp = pdir + ".tmp"
@@ -830,10 +837,15 @@ def run(
                 os.path.join(tmp, "violations.parquet"),
             )
             if os.path.exists(pdir):
-                import shutil
-
                 shutil.rmtree(pdir)
             os.replace(tmp, pdir)
+            return p, len(pv)
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            n_viol = dict(ex.map(_write_part, todo))
+        # manifest records append sequentially AFTER the data is durably in
+        # place (a record must never precede its partition's files)
+        for p in todo:
             n_rows = int(new_stats[new_stats["part"] == p]["n"].sum())
             part_rows[p] = n_rows
             lang_snap = [
@@ -848,7 +860,7 @@ def run(
             manifest.mark_done(
                 p, fragments=parts[p], n_rows=n_rows,
                 stats_snapshot=_stats_to_snapshot(new_stats, p),
-                metrics={"n_range_violations": int(len(pv)),
+                metrics={"n_range_violations": n_viol[p],
                          "lang_counts": lang_snap,
                          "null_stats": null_snap},
             )
