@@ -181,7 +181,11 @@ def range_violations(light: "ray.data.Dataset", cfg: ValidationConfig) -> "ray.d
             }
         )
 
-    return light.map_batches(check, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    kw: dict[str, Any] = (
+        {"concurrency": max(8, ncpu // 2)} if ncpu > 16 else {}
+    )
+    return light.map_batches(check, batch_format="pyarrow", **kw)
 
 
 def _moments_partial_fn(min_len: int, max_len: int):
@@ -241,8 +245,12 @@ def combined_light_stats(
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    kw: dict[str, Any] = (
+        {"concurrency": max(8, ncpu // 2)} if ncpu > 16 else {}
+    )  # bound worker-process rotation past the physical-core count
     parts = light.map_batches(partial, batch_format="pandas",
-                              batch_size=None).to_pandas()
+                              batch_size=None, **kw).to_pandas()
     if len(parts) == 0:
         return (
             pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"]),
@@ -465,6 +473,7 @@ class _FetchCandidatesPool:
 def _uniqueness_from_datasets(
     pre: "ray.data.Dataset", ds: "ray.data.Dataset",
     bucketed_above: int = UNIQ_BUCKETED_ABOVE,
+    n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Core of the uniqueness check over pre-built datasets.
 
@@ -481,26 +490,32 @@ def _uniqueness_from_datasets(
         hash collisions (at 10^12 keys step 2 would use the 128-bit variant;
         collisions only cost extra verify work, never wrong output)."""
     keys = _UNIQ_KEYS
-    # above the physical-core count, pin the key scans to a bounded actor
-    # pool — same worker-rotation/arena-re-fault pathology as the content
-    # pass (see _DerivePool); at small CPU counts plain fused tasks win
+    # above the physical-core count, CAP the key-scan task concurrency —
+    # unbounded stateless tasks rotate across every spawned worker process
+    # and re-fault fresh arenas (the guest serializes page-fault zeroing).
+    # A concurrency cap on plain tasks bounds the rotation without the
+    # actor-pool spin-up that serialized against the concurrent
+    # range/moments scans (measured: pools put the uniqueness tail at 10 s
+    # @32 CPUs vs ~4 s capped-tasks); at ≤16 CPUs uncapped fused tasks win.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     use_polars = _polars_available()  # decided once, on the driver
     heavy_kwargs: dict[str, Any] = (
         {"concurrency": min(8, max(4, ncpu // 4))} if ncpu > 16 else {}
     )
 
-    if ncpu > 16:
-        partials = pre.map_batches(
-            _HashPartialPool, fn_constructor_args=(use_polars,),
-            batch_format="pyarrow", batch_size=None, **heavy_kwargs,
-        ).materialize()
+    partials = pre.map_batches(
+        _HashPartialPool(use_polars),
+        batch_format="pyarrow", batch_size=None, **heavy_kwargs,
+    )
+    if n_rows_hint is not None:
+        # partial count ≤ input rows; the caller already knows the row count,
+        # so skip the materialize-to-count barrier and let the partial stage
+        # stream straight into whichever merge the bound selects (partials
+        # are consumed exactly once either way)
+        n_partials = n_rows_hint
     else:
-        partials = pre.map_batches(
-            _HashPartialPool(use_polars),
-            batch_format="pyarrow", batch_size=None,
-        ).materialize()
-    n_partials = partials.count()
+        partials = partials.materialize()
+        n_partials = partials.count()
 
     def merge_dups(g: pd.DataFrame) -> pd.DataFrame:
         a = g.groupby("h", sort=False).agg(
@@ -523,16 +538,10 @@ def _uniqueness_from_datasets(
 
     dup_hashes = pa.array(dup_df["h"].to_numpy().astype("uint64"), pa.uint64())
 
-    if ncpu > 16:
-        fetch_stage = ds.map_batches(
-            _FetchCandidatesPool, fn_constructor_args=(dup_hashes, use_polars),
-            batch_format="pyarrow", batch_size=None, **heavy_kwargs,
-        )
-    else:
-        fetch_stage = ds.map_batches(
-            _FetchCandidatesPool(dup_hashes, use_polars),
-            batch_format="pyarrow", batch_size=None,
-        )
+    fetch_stage = ds.map_batches(
+        _FetchCandidatesPool(dup_hashes, use_polars),
+        batch_format="pyarrow", batch_size=None, **heavy_kwargs,
+    )
     cand = to_arrow_single(fetch_stage).to_pandas()
     exact = cand.groupby(keys, sort=False).agg(
         n=("part", "size"), part=("part", "min")
@@ -599,7 +608,6 @@ def gate_violations(
         # gates only judge repos that exist; dangling repos are the
         # referential check's finding
         stats_f = stats_f[stats_f["repo"].isin(manifest_repos)]
-    sds = ray.data.from_pandas(stats_f.reset_index(drop=True))
     t = cfg.zscore_threshold
     k = cfg.iqr_multiplier
     max_slope = cfg.max_slope
@@ -664,7 +672,25 @@ def gate_violations(
 
         return _viol_table(rows)
 
+    if len(stats_f) <= GATES_DRIVER_BELOW:
+        # driver fast path: the series table is (repos × parts) rows — a Ray
+        # groupby here costs ~0.4 s of pure overhead at any CPU count (a
+        # fixed cost that caps scaling efficiency); the identical score_repo
+        # runs per repo in-process instead
+        tabs = [score_repo(g)
+                for _, g in stats_f.groupby("repo", sort=True)]
+        out = (pa.concat_tables([x for x in tabs if x.num_rows])
+               if any(x.num_rows for x in tabs)
+               else _viol_table({c: [] for c in VIOLATION_COLS}))
+        return ray.data.from_arrow(out)
+    sds = ray.data.from_pandas(stats_f.reset_index(drop=True))
     return sds.groupby("repo").map_groups(score_repo, batch_format="pandas")
+
+
+#: stats-row count below which the gates run as a plain driver loop; above
+#: it the distributed groupby(repo).map_groups path is unchanged — at 10^6
+#: repos that is the right shape.
+GATES_DRIVER_BELOW = 200_000
 
 
 # ---------------------------------------------------------------------------
@@ -742,24 +768,32 @@ def run(
     todo = sorted(p for p in parts if p not in done)
     skipped = sorted(p for p in parts if p in done)
 
-    # ---- phase 2 kicked off FIRST, concurrently: the key-only scan reads
-    # different columns than the content pass and has no dependency on it, so
-    # it overlaps phase 1 in a background thread (two independent streaming
-    # executions share the cluster; ~the whole key-scan latency is hidden)
+    # ---- phase 2 (uniqueness) scheduling ----------------------------------
+    # Fresh run (every part TODO): the materialized light table already holds
+    # exactly the uniqueness key columns, so the key scan consumes IT instead
+    # of re-reading the whole corpus from parquet — one corpus read total.
+    # Resume run: light only covers TODO parts but uniqueness must span the
+    # corpus, so the key-only parquet scan runs, overlapped with phase 1 in a
+    # background thread (different columns, no dependency — ~the whole
+    # key-scan latency hides behind the content pass).
     import threading
 
-    # dataset CONSTRUCTION happens on the main thread (read_parquet's lazy
-    # fsspec imports are not thread-safe on first touch); only execution runs
-    # in the background thread
-    uniq_files = [f for frags in parts.values() for f in frags]
-    uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
-
+    uniq_from_light = len(done) == 0 and len(parts) > 0
     uniq_result: dict[str, Any] = {}
+    uniq_pre = uniq_keys_ds = None
+    uniq_hint: int | None = None
+    if not uniq_from_light:
+        # dataset CONSTRUCTION happens on the main thread (read_parquet's
+        # lazy fsspec imports are not thread-safe on first touch); only
+        # execution runs in the background thread
+        uniq_files = [f for frags in parts.values() for f in frags]
+        uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
 
     def _run_uniqueness() -> None:
         try:
             uniq_result["table"] = to_arrow_single(
-                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds)
+                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds,
+                                          n_rows_hint=uniq_hint)
             ).to_pandas()
         except Exception as e:  # surfaced at join time
             uniq_result["error"] = e
@@ -769,7 +803,7 @@ def run(
     # contend rather than pipeline
     seq_uniq = os.environ.get("RTAD_SEQ_UNIQ") == "1"
     uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
-    if not seq_uniq:
+    if not seq_uniq and not uniq_from_light:
         uniq_thread.start()
 
     # ---- phase 1: content pass over TODO partitions ----------------------
@@ -788,9 +822,11 @@ def run(
             # Beyond the physical-core count, stateless decode tasks rotate
             # across every spawned worker process and each process re-faults
             # a fresh arena (this guest serializes page-fault zeroing) —
-            # measured 13-23 s vs 5-6 s at 32 CPUs. A FIXED actor pool pins
-            # the heavy decode to a bounded set of warm processes (the
-            # "state" is the resident allocator arena).
+            # measured 13-23 s vs 5-6 s at 32 CPUs (52 s with merely a
+            # concurrency CAP: capping in-flight tasks does not pin them to
+            # a bounded process set). A FIXED actor pool pins the heavy
+            # decode to warm processes (the "state" is the resident
+            # allocator arena).
             light = ds.map_batches(_DerivePool, batch_format="pyarrow",
                                    batch_size=None,
                                    concurrency=min(16, max(8, ncpu // 2)))
@@ -800,6 +836,16 @@ def run(
         # materialize once: range violations + moments both consume it
         light = light.materialize()
         _mark("derive+materialize")
+        if uniq_from_light:
+            # key scan over the in-memory light projection (no second corpus
+            # read); overlaps the range/moments consumers below. The known
+            # row count skips the partials materialize-to-count barrier.
+            uniq_pre = uniq_keys_ds = light.select_columns(
+                _UNIQ_KEYS + ["part"]
+            )
+            uniq_hint = light.count()
+            if not seq_uniq:
+                uniq_thread.start()
         # range violations and moments are independent consumers of the
         # materialized light table — overlap them in threads
         rv_box: dict[str, Any] = {}
@@ -843,8 +889,9 @@ def run(
 
         with ThreadPoolExecutor(max_workers=8) as ex:
             n_viol = dict(ex.map(_write_part, todo))
-        # manifest records append sequentially AFTER the data is durably in
-        # place (a record must never precede its partition's files)
+        # manifest records append (one batched fsync) AFTER the data is
+        # durably in place (a record must never precede its partition's files)
+        recs = []
         for p in todo:
             n_rows = int(new_stats[new_stats["part"] == p]["n"].sum())
             part_rows[p] = n_rows
@@ -857,13 +904,14 @@ def run(
                 {"n": int(nrow["n"].iloc[0]), "n_null": int(nrow["n_null"].iloc[0])}
                 if len(nrow) else {"n": 0, "n_null": 0}
             )
-            manifest.mark_done(
-                p, fragments=parts[p], n_rows=n_rows,
+            recs.append(dict(
+                part=p, fragments=parts[p], n_rows=n_rows,
                 stats_snapshot=_stats_to_snapshot(new_stats, p),
                 metrics={"n_range_violations": n_viol[p],
                          "lang_counts": lang_snap,
                          "null_stats": null_snap},
-            )
+            ))
+        manifest.mark_done_many(recs)
 
     _mark("per-part writes+manifest")
 
