@@ -55,15 +55,51 @@ def hash32(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big")
 
 
+#: per-process word → 31-bit hash cache (vocabulary-bounded; shingle
+#: hashing touches each word ONCE per process instead of running blake2b per
+#: 3-gram occurrence). Insertions stop past the cap — lookups then fall
+#: through to direct hashing, so memory stays bounded on open vocabularies.
+_WH32: dict[str, int] = {}
+_WH32_MAX = 2_000_000
+
+
+def _word_h32(word: str) -> int:
+    h = _WH32.get(word)
+    if h is None:
+        h = hash32(word) & _M31
+        if len(_WH32) < _WH32_MAX:
+            _WH32[word] = h
+    return h
+
+
+#: multiplier for the rolling shingle combine — any constant in (1, 2^31-1);
+#: values stay < 2^31 so each `acc * P + h` step fits uint64 before the mod.
+_SHINGLE_P = np.uint64(1_000_003)
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Hashed word k-shingles as uint64 values < 2^31 (unique) — inside the
-    Mersenne-31 universal-hash domain."""
+    """Hashed word k-shingles as SORTED unique uint64 values < 2^31 (the
+    Mersenne-31 universal-hash domain). The shingle hash is a polynomial
+    fold of per-word 31-bit hashes (cached per process) — vectorized over
+    all positions, no per-3-gram digest. Distinct 3-grams collide with the
+    same ~2^-31 probability as direct hashing; collisions only perturb the
+    estimated Jaccard (the three-scale oracle sweeps pin the actual
+    corpora)."""
     w = words(text.lower())
+    if not w:
+        return np.empty(0, np.uint64)
+    hw = np.fromiter((_word_h32(x) for x in w), dtype=np.uint64, count=len(w))
+    m = np.uint64(_M31)
     if len(w) < k:
-        return (np.array([hash32(" ".join(w)) & _M31], dtype=np.uint64)
-                if w else np.empty(0, np.uint64))
-    sh = {hash32(" ".join(w[i:i + k])) & _M31 for i in range(len(w) - k + 1)}
-    return np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        acc = np.uint64(0)
+        for h in hw:
+            acc = (acc * _SHINGLE_P + h) % m
+        return np.array([acc], dtype=np.uint64)
+    n_sh = len(w) - k + 1
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _SHINGLE_P + hw[j:j + n_sh]) % m
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -126,23 +162,40 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+#: per-process word → ±1 bit-vector cache for SimHash (one blake2b + bit
+#: expansion per distinct word per process; same bound discipline as _WH32).
+_WBITS: dict[str, np.ndarray] = {}
+
+
+def _word_bits(word: str) -> np.ndarray:
+    b = _WBITS.get(word)
+    if b is None:
+        h = hash64(word)
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        b = bits * 2 - 1  # ±1 — bit set → +1, clear → −1
+        if len(_WBITS) < _WH32_MAX:
+            _WBITS[word] = b
+    return b
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (count-weighted)."""
+    """64-bit SimHash over word unigrams (count-weighted). Identical output
+    to the direct formulation (±1·count sums per bit); per-word bit vectors
+    are cached per process and the accumulation is one stacked
+    matrix-vector product per doc instead of a per-word numpy loop."""
     w = words(text.lower())
     if not w:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
     from collections import Counter
 
-    for word, cnt in Counter(w).items():
-        h = hash64(word)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), cnt, -cnt)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    items = Counter(w)
+    mat = np.stack([_word_bits(word) for word in items])
+    cnt = np.fromiter(items.values(), dtype=np.int64, count=len(items))
+    acc = cnt @ mat
+    return int.from_bytes(
+        np.packbits((acc > 0).astype(np.uint8), bitorder="little").tobytes(),
+        "little",
+    )
 
 
 def hamming64(a: int, b: int) -> int:

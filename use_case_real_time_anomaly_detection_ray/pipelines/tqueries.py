@@ -1,9 +1,12 @@
 """Training-data operator queries over ``documents`` / ``embeddings`` with
-DuckDB oracles where SQL can express the semantics; the sketch-based ops
-(MinHash-LSH, SimHash, fingerprints, LSH-ANN) are exposed as rows-only
-queries (the driver records the weaker check; their correctness is pinned by
-unit tests against exact oracles instead). Language ID is fully
-oracle-paired — ``SQL_DOC_LANG_ID`` transcribes the heuristic."""
+DuckDB oracles where SQL can express the semantics. Oracle-paired beyond the
+obvious: language ID (``SQL_DOC_LANG_ID`` transcribes the heuristic), n-gram
+Jaccard pairs (exhaustive 3-gram cross-join), MinHash dedup clusters
+(exact-Jaccard verification makes the output connected components over true
+Jaccard pairs — a recursive-CTE closure), and the embedding near-dup pairs on
+the LSH-bucketed scale path. The rest (SimHash, fingerprints, sketch ANN,
+media) are rows-only: the driver records the weaker check and correctness is
+pinned by unit tests against exact oracles / pinned recall bounds instead."""
 
 from __future__ import annotations
 
