@@ -53,7 +53,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(ANOMALY_QUERIES)
     out.update(VALIDATION_QUERIES)
     out.update(TEXT_QUERIES)
-    return out
+    return {name: _typed_collect(fn) for name, fn in out.items()}
+
+
+def _typed_collect(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Collect Dataset results into a typed ``pa.Table`` for the compare.
+
+    ``Dataset.to_pandas()`` over a pipeline whose blocks are ALL empty drops
+    the schema (column-less DataFrame), so a query that legitimately finds
+    zero anomalies at some scale factor would fail the schema gate.
+    ``to_arrow_single`` recovers the schema from the dataset plan in that
+    case. Query outputs are small by construction (filtered anomaly /
+    verdict / dedup rows), so driver-side collection is what the compare
+    does anyway."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str) -> Any:
+        import ray.data
+
+        from use_case_real_time_anomaly_detection_ray.stages.reduce import (
+            to_arrow_single,
+        )
+
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            return to_arrow_single(res)
+        return res
+
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:

@@ -146,13 +146,88 @@ def derive_light(batch: pa.Table) -> pa.Table:
     return out
 
 
+def make_derive_fused(min_len: int, max_len: int):
+    """Fused derive + range predicate: the phase-1 content pass used by
+    :func:`run`. Same per-row work as :func:`derive_light` (utf8 length +
+    sha256 over a zero-copy memoryview of every row), but the materialized
+    "light" table it emits is SPARSE: ``path`` / ``commit`` / ``sha256`` are
+    carried only for rows failing the range predicate (null elsewhere, so
+    their string buffers hold just the violators), and the full 32-byte
+    digest is folded to a per-row ``sha64`` int (first 8 bytes) that the
+    stats pass XORs into a per-partition content fingerprint for the
+    manifest. The dense version carried ~64 B of hex + ~80 B of key strings
+    per row — re-reading that 2.6 GB table out of the object store
+    re-faulted every plasma mmap page on this guest (the kernel serializes
+    page-fault zeroing), which made BOTH downstream consumers
+    (range filter, combined stats) scale at ~0.65; the sparse layout is
+    ~5× smaller, so consumer scans are object-store-bandwidth-trivial."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _tune_allocator()
+        content = batch["content"].combine_chunks()
+        if isinstance(content, pa.ChunkedArray):
+            content = (content.chunk(0) if content.num_chunks
+                       else pa.array([], pa.large_string()))
+        lengths = pc.utf8_length(content).cast(pa.int64())
+        bin_arr = content.cast(pa.large_binary())
+        n = len(bin_arr)
+        offs = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64,
+                             count=n + 1, offset=bin_arr.offset * 8)
+        data_mv = memoryview(bin_arr.buffers()[2])
+        digests = [
+            hashlib.sha256(data_mv[offs[i]:offs[i + 1]]).digest()
+            for i in range(n)
+        ]
+        # first 8 bytes of each digest as one int per row (int64 view —
+        # Ray's sort/groupby machinery overflows on uint64 columns)
+        sha64 = (
+            np.frombuffer(b"".join(digests), dtype=np.uint64)[::4]
+            .view(np.int64).copy()
+            if n else np.empty(0, dtype=np.int64)
+        )
+        mask = pc.or_kleene(
+            pc.less(lengths, pa.scalar(min_len, pa.int64())),
+            pc.greater(lengths, pa.scalar(max_len, pa.int64())),
+        )
+        mask = pc.fill_null(mask, False)
+        none_str = pa.scalar(None, type=pa.string())
+        if pc.any(mask).as_py():
+            mask_np = mask.to_numpy(zero_copy_only=False)
+            hexes = [digests[i].hex() if mask_np[i] else None
+                     for i in range(n)]
+            sha_col = pa.array(hexes, pa.string())
+            path_col = pc.if_else(mask, batch["path"].combine_chunks()
+                                  .cast(pa.string()), none_str)
+            commit_col = pc.if_else(mask, batch["commit"].combine_chunks()
+                                    .cast(pa.string()), none_str)
+        else:
+            sha_col = pa.nulls(n, pa.string())
+            path_col = pa.nulls(n, pa.string())
+            commit_col = pa.nulls(n, pa.string())
+        return pa.table({
+            "part": batch["part"],
+            "repo": batch["repo"],
+            "lang": batch["lang"],
+            "content_length": lengths,
+            "sha64": pa.array(sha64, pa.int64()),
+            "path": path_col,
+            "commit": commit_col,
+            "sha256": sha_col,
+        })
+
+    return fn
+
+
 class _DerivePool:
-    """Actor-pool wrapper for :func:`derive_light` — used above ~16 session
-    CPUs to pin decode work to a bounded set of worker processes (warm
-    resident arenas; see the call site in :func:`run`)."""
+    """Actor-pool wrapper for :func:`make_derive_fused` — used above ~16
+    session CPUs to pin decode work to a bounded set of worker processes
+    (warm resident arenas; see the call site in :func:`run`)."""
+
+    def __init__(self, min_len: int, max_len: int):
+        self._fn = make_derive_fused(min_len, max_len)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return derive_light(batch)
+        return self._fn(batch)
 
 
 def range_violations(light: "ray.data.Dataset", cfg: ValidationConfig) -> "ray.data.Dataset":
@@ -227,29 +302,56 @@ def combined_light_stats(
     (part, lang, n) / (part, n, n_null)."""
     min_len, max_len = cfg.min_len, cfg.max_len
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        L = df["content_length"].astype("float64")
-        ok = (L >= min_len) & (L <= max_len)
-        base = df.assign(
-            _l=L.where(ok),  # out-of-range rows quarantined from the moments
-            _ok=ok.astype("int64"),
-            _nn=(L.isna() | (L == 0)).astype("int64"),
+    def partial(t: pa.Table) -> pa.Table:
+        """Arrow-native per-block partial: the pandas version materialized
+        every repo/lang value as a Python str (object-array conversion),
+        which at 15 M rows cost more core-seconds than the aggregation
+        itself. ``pa.Table.group_by`` keeps the strings in Arrow buffers."""
+        L = t["content_length"].cast(pa.float64())
+        ok = pc.fill_null(
+            pc.and_kleene(
+                pc.greater_equal(L, pa.scalar(float(min_len))),
+                pc.less_equal(L, pa.scalar(float(max_len))),
+            ),
+            False,
         )
-        base["_l2"] = base["_l"] * base["_l"]
-        g = base.groupby(["part", "repo", "lang"], sort=False).agg(
-            n_all=("_ok", "size"), n=("_ok", "sum"),
-            s=("_l", "sum"), s2=("_l2", "sum"),
-            mn=("_l", "min"), mx=("_l", "max"),
-            n_null=("_nn", "sum"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        lq = pc.if_else(ok, L, pa.scalar(None, pa.float64()))
+        nn = pc.or_kleene(pc.is_null(L), pc.equal(L, pa.scalar(0.0)))
+        base = pa.table({
+            "part": t["part"], "repo": t["repo"], "lang": t["lang"],
+            "_l": lq, "_l2": pc.multiply(lq, lq),
+            "_ok": ok.cast(pa.int64()),
+            "_nn": pc.fill_null(nn, True).cast(pa.int64()),
+        })
+        g = base.group_by(["part", "repo", "lang"], use_threads=False).aggregate(
+            [("_ok", "count"), ("_ok", "sum"), ("_l", "sum"), ("_l2", "sum"),
+             ("_l", "min"), ("_l", "max"), ("_nn", "sum")]
+        )
+        g = g.rename_columns(
+            ["part", "repo", "lang", "n_all", "n", "s", "s2", "mn", "mx",
+             "n_null"]
+        )
+        if "sha64" in t.column_names:
+            # XOR-fold of the per-row content digests per part — associative,
+            # so the per-block fold here and the per-part fold on the driver
+            # compose into the partition's content fingerprint (manifest
+            # lineage). XOR's identity is 0, so the fold rides on the FIRST
+            # output row of each part (0 elsewhere) and the driver XORs.
+            parts_np = t["part"].to_numpy()
+            sha_np = t["sha64"].to_numpy()
+            out_parts = g["part"].to_numpy()
+            sha_col = np.zeros(g.num_rows, dtype=np.int64)
+            for p in np.unique(parts_np):
+                idx = int(np.argmax(out_parts == p))
+                sha_col[idx] = np.bitwise_xor.reduce(sha_np[parts_np == p])
+            g = g.append_column("sha_xor", pa.array(sha_col, pa.int64()))
+        return g
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     kw: dict[str, Any] = (
         {"concurrency": max(8, ncpu // 2)} if ncpu > 16 else {}
     )  # bound worker-process rotation past the physical-core count
-    parts = light.map_batches(partial, batch_format="pandas",
+    parts = light.map_batches(partial, batch_format="pyarrow",
                               batch_size=None, **kw).to_pandas()
     if len(parts) == 0:
         return (
@@ -264,8 +366,13 @@ def combined_light_stats(
     stats = stats[stats["n"] > 0].reset_index(drop=True)  # all-quarantined groups
     lang_stats = (parts.groupby(["part", "lang"], sort=False)["n_all"].sum()
                   .reset_index().rename(columns={"n_all": "n"}))
+    null_aggs: dict[str, Any] = dict(n=("n_all", "sum"), n_null=("n_null", "sum"))
+    if "sha_xor" in parts.columns:
+        null_aggs["sha_xor"] = (
+            "sha_xor", lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype="int64"))
+        )
     null_stats = (parts.groupby("part", sort=False)
-                  .agg(n=("n_all", "sum"), n_null=("n_null", "sum"))
+                  .agg(**null_aggs)
                   .reset_index())
     return stats, lang_stats, null_stats
 
@@ -502,6 +609,18 @@ def _uniqueness_from_datasets(
     heavy_kwargs: dict[str, Any] = (
         {"concurrency": min(8, max(4, ncpu // 4))} if ncpu > 16 else {}
     )
+    import sys as _sys
+    import time as _time
+
+    _prof = os.environ.get("RTAD_PROFILE") == "1"
+    _t = [_time.perf_counter()]
+
+    def _umark(label: str) -> None:
+        if _prof:
+            now = _time.perf_counter()
+            print(f"[uniq] {label}: {now - _t[0]:.2f}s", file=_sys.stderr,
+                  flush=True)
+            _t[0] = now
 
     partials = pre.map_batches(
         _HashPartialPool(use_polars),
@@ -531,8 +650,10 @@ def _uniqueness_from_datasets(
         dup_df = to_arrow_single(
             bucketed_merge(partials, ["h"], merge_dups)
         ).to_pandas()
+        _umark("partials+bucketed_merge")
     else:
         dup_df = merge_dups(to_arrow_single(partials).to_pandas())
+        _umark("partials+driver_merge")
     if len(dup_df) == 0:
         return ray.data.from_arrow(_viol_table({c: [] for c in VIOLATION_COLS}))
 
@@ -543,6 +664,7 @@ def _uniqueness_from_datasets(
         batch_format="pyarrow", batch_size=None, **heavy_kwargs,
     )
     cand = to_arrow_single(fetch_stage).to_pandas()
+    _umark("fetch_candidates")
     exact = cand.groupby(keys, sort=False).agg(
         n=("part", "size"), part=("part", "min")
     ).reset_index()
@@ -769,31 +891,29 @@ def run(
     skipped = sorted(p for p in parts if p in done)
 
     # ---- phase 2 (uniqueness) scheduling ----------------------------------
-    # Fresh run (every part TODO): the materialized light table already holds
-    # exactly the uniqueness key columns, so the key scan consumes IT instead
-    # of re-reading the whole corpus from parquet — one corpus read total.
-    # Resume run: light only covers TODO parts but uniqueness must span the
-    # corpus, so the key-only parquet scan runs, overlapped with phase 1 in a
-    # background thread (different columns, no dependency — ~the whole
-    # key-scan latency hides behind the content pass).
+    # The key-only parquet scan (different columns, no dependency on phase 1)
+    # runs overlapped with the content pass in a background thread — ~the
+    # whole key-scan latency hides behind the content pass. Feeding the key
+    # scan from the materialized light table instead (saving this second
+    # corpus read) was tried and REVERTED: on this guest, reading the 2.6 GB
+    # light projection back out of the object store re-faults every plasma
+    # mmap page (the kernel serializes page-fault zeroing — same pathology
+    # as the decode arenas), measuring 2-3× slower than the fused
+    # column-pruned parquet re-read, AND it serializes uniqueness after the
+    # content pass instead of hiding it underneath.
     import threading
 
-    uniq_from_light = len(done) == 0 and len(parts) > 0
     uniq_result: dict[str, Any] = {}
-    uniq_pre = uniq_keys_ds = None
-    uniq_hint: int | None = None
-    if not uniq_from_light:
-        # dataset CONSTRUCTION happens on the main thread (read_parquet's
-        # lazy fsspec imports are not thread-safe on first touch); only
-        # execution runs in the background thread
-        uniq_files = [f for frags in parts.values() for f in frags]
-        uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
+    # dataset CONSTRUCTION happens on the main thread (read_parquet's
+    # lazy fsspec imports are not thread-safe on first touch); only
+    # execution runs in the background thread
+    uniq_files = [f for frags in parts.values() for f in frags]
+    uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
 
     def _run_uniqueness() -> None:
         try:
             uniq_result["table"] = to_arrow_single(
-                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds,
-                                          n_rows_hint=uniq_hint)
+                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds)
             ).to_pandas()
         except Exception as e:  # surfaced at join time
             uniq_result["error"] = e
@@ -803,7 +923,7 @@ def run(
     # contend rather than pipeline
     seq_uniq = os.environ.get("RTAD_SEQ_UNIQ") == "1"
     uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
-    if not seq_uniq and not uniq_from_light:
+    if not seq_uniq:
         uniq_thread.start()
 
     # ---- phase 1: content pass over TODO partitions ----------------------
@@ -829,23 +949,15 @@ def run(
             # allocator arena).
             light = ds.map_batches(_DerivePool, batch_format="pyarrow",
                                    batch_size=None,
+                                   fn_constructor_args=(cfg.min_len,
+                                                        cfg.max_len),
                                    concurrency=min(16, max(8, ncpu // 2)))
         else:
-            light = ds.map_batches(derive_light, batch_format="pyarrow",
-                                   batch_size=None)
+            light = ds.map_batches(make_derive_fused(cfg.min_len, cfg.max_len),
+                                   batch_format="pyarrow", batch_size=None)
         # materialize once: range violations + moments both consume it
         light = light.materialize()
         _mark("derive+materialize")
-        if uniq_from_light:
-            # key scan over the in-memory light projection (no second corpus
-            # read); overlaps the range/moments consumers below. The known
-            # row count skips the partials materialize-to-count barrier.
-            uniq_pre = uniq_keys_ds = light.select_columns(
-                _UNIQ_KEYS + ["part"]
-            )
-            uniq_hint = light.count()
-            if not seq_uniq:
-                uniq_thread.start()
         # range violations and moments are independent consumers of the
         # materialized light table — overlap them in threads
         rv_box: dict[str, Any] = {}
@@ -901,8 +1013,13 @@ def run(
             ]
             nrow = new_null[new_null["part"] == p]
             null_snap = (
-                {"n": int(nrow["n"].iloc[0]), "n_null": int(nrow["n_null"].iloc[0])}
-                if len(nrow) else {"n": 0, "n_null": 0}
+                {"n": int(nrow["n"].iloc[0]), "n_null": int(nrow["n_null"].iloc[0]),
+                 # XOR fingerprint of every row's content sha256 (first 8
+                 # bytes) — the per-partition lineage record of the per-row
+                 # hash invariant
+                 "sha_xor": int(nrow["sha_xor"].iloc[0])
+                 if "sha_xor" in nrow.columns else 0}
+                if len(nrow) else {"n": 0, "n_null": 0, "sha_xor": 0}
             )
             recs.append(dict(
                 part=p, fragments=parts[p], n_rows=n_rows,
