@@ -146,7 +146,7 @@ def derive_light(batch: pa.Table) -> pa.Table:
     return out
 
 
-def make_derive_fused(min_len: int, max_len: int):
+def make_derive_fused(min_len: int, max_len: int, use_polars: bool = False):
     """Fused derive + range predicate: the phase-1 content pass used by
     :func:`run`. Same per-row work as :func:`derive_light` (utf8 length +
     sha256 over a zero-copy memoryview of every row), but the materialized
@@ -204,12 +204,19 @@ def make_derive_fused(min_len: int, max_len: int):
             sha_col = pa.nulls(n, pa.string())
             path_col = pa.nulls(n, pa.string())
             commit_col = pa.nulls(n, pa.string())
+        # per-row 64-bit hash of the FULL (repo,path,commit) key triple,
+        # computed here where the key strings are already decoded — on a
+        # fresh run the uniqueness check consumes (keyh, part) straight from
+        # the materialized light table, deleting its second corpus scan
+        # (int64 bit-view: Ray's shuffle machinery overflows on uint64)
+        keyh = _triple_hash(batch, _UNIQ_KEYS, use_polars).view(np.int64)
         return pa.table({
             "part": batch["part"],
             "repo": batch["repo"],
             "lang": batch["lang"],
             "content_length": lengths,
             "sha64": pa.array(sha64, pa.int64()),
+            "keyh": pa.array(keyh, pa.int64()),
             "path": path_col,
             "commit": commit_col,
             "sha256": sha_col,
@@ -223,8 +230,8 @@ class _DerivePool:
     session CPUs to pin decode work to a bounded set of worker processes
     (warm resident arenas; see the call site in :func:`run`)."""
 
-    def __init__(self, min_len: int, max_len: int):
-        self._fn = make_derive_fused(min_len, max_len)
+    def __init__(self, min_len: int, max_len: int, use_polars: bool = False):
+        self._fn = make_derive_fused(min_len, max_len, use_polars)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self._fn(batch)
@@ -562,6 +569,28 @@ class _HashPartialPool:
                          "part": pa.array(g["part"].to_numpy().astype("int64"))})
 
 
+def _prehashed_partial(t: pa.Table) -> pa.Table:
+    """Key-scan stage 1 over a light table that ALREADY carries the per-row
+    triple hash (``keyh``, computed inside the fused derive pass): a pure
+    int64 group-count per block — no string decode, no re-hash. The two
+    int64 columns it touches are ~6% of the light table's bytes, so reading
+    them back out of the object store is page-fault-trivial (the fat-string
+    variant of this feed was measured 2-3× slower than a parquet re-read
+    and reverted; the sparse layout flips that)."""
+    if t.num_rows == 0:
+        return pa.table({"h": pa.array([], pa.uint64()),
+                         "n": pa.array([], pa.int64()),
+                         "part": pa.array([], pa.int64())})
+    g = pa.table({"h": t["keyh"], "part": t["part"]}).group_by(
+        ["h"], use_threads=False
+    ).aggregate([("part", "count"), ("part", "min")])
+    return pa.table({
+        "h": pa.array(g["h"].to_numpy().view(np.uint64), pa.uint64()),
+        "n": g["part_count"].cast(pa.int64()),
+        "part": g["part_min"].cast(pa.int64()),
+    })
+
+
 class _FetchCandidatesPool:
     """Key-scan stage 2: keep rows whose triple-hash is in the (broadcast)
     duplicate-hash set."""
@@ -581,6 +610,7 @@ def _uniqueness_from_datasets(
     pre: "ray.data.Dataset", ds: "ray.data.Dataset",
     bucketed_above: int = UNIQ_BUCKETED_ABOVE,
     n_rows_hint: int | None = None,
+    pre_hashed: bool = False,
 ) -> "ray.data.Dataset":
     """Core of the uniqueness check over pre-built datasets.
 
@@ -623,7 +653,7 @@ def _uniqueness_from_datasets(
             _t[0] = now
 
     partials = pre.map_batches(
-        _HashPartialPool(use_polars),
+        _prehashed_partial if pre_hashed else _HashPartialPool(use_polars),
         batch_format="pyarrow", batch_size=None, **heavy_kwargs,
     )
     if n_rows_hint is not None:
@@ -891,29 +921,40 @@ def run(
     skipped = sorted(p for p in parts if p in done)
 
     # ---- phase 2 (uniqueness) scheduling ----------------------------------
-    # The key-only parquet scan (different columns, no dependency on phase 1)
-    # runs overlapped with the content pass in a background thread — ~the
-    # whole key-scan latency hides behind the content pass. Feeding the key
-    # scan from the materialized light table instead (saving this second
-    # corpus read) was tried and REVERTED: on this guest, reading the 2.6 GB
-    # light projection back out of the object store re-faults every plasma
-    # mmap page (the kernel serializes page-fault zeroing — same pathology
-    # as the decode arenas), measuring 2-3× slower than the fused
-    # column-pruned parquet re-read, AND it serializes uniqueness after the
-    # content pass instead of hiding it underneath.
+    # Fresh run (every part TODO): the fused derive pass already computed the
+    # per-row key-triple hash (``keyh`` in the sparse light table), so the
+    # uniqueness partials consume two int64 columns out of the object store
+    # — the entire second corpus scan disappears, and the remaining int
+    # group-count overlaps the range/moments consumers of the same
+    # materialized table. (An earlier variant fed the key STRINGS from the
+    # then-fat light table and was reverted — re-reading 2.6 GB of plasma
+    # re-faulted every mmap page; with hashing fused into derive the feed is
+    # ~6% of those bytes.)
+    # Resume run: light only covers TODO parts but uniqueness must span the
+    # corpus, so the key-only parquet scan runs, overlapped with phase 1 in
+    # a background thread (different columns, no dependency — ~the whole
+    # key-scan latency hides behind the content pass).
     import threading
 
+    uniq_from_light = len(done) == 0 and len(todo) > 0
     uniq_result: dict[str, Any] = {}
+    uniq_pre = None
+    uniq_hint: int | None = None
     # dataset CONSTRUCTION happens on the main thread (read_parquet's
     # lazy fsspec imports are not thread-safe on first touch); only
     # execution runs in the background thread
     uniq_files = [f for frags in parts.values() for f in frags]
-    uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
+    if uniq_from_light:
+        _, uniq_keys_ds = _uniq_reads(uniq_files)  # candidate-fetch side only
+    else:
+        uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
 
     def _run_uniqueness() -> None:
         try:
             uniq_result["table"] = to_arrow_single(
-                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds)
+                _uniqueness_from_datasets(uniq_pre, uniq_keys_ds,
+                                          n_rows_hint=uniq_hint,
+                                          pre_hashed=uniq_from_light)
             ).to_pandas()
         except Exception as e:  # surfaced at join time
             uniq_result["error"] = e
@@ -923,7 +964,7 @@ def run(
     # contend rather than pipeline
     seq_uniq = os.environ.get("RTAD_SEQ_UNIQ") == "1"
     uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
-    if not seq_uniq:
+    if not seq_uniq and not uniq_from_light:
         uniq_thread.start()
 
     # ---- phase 1: content pass over TODO partitions ----------------------
@@ -950,14 +991,23 @@ def run(
             light = ds.map_batches(_DerivePool, batch_format="pyarrow",
                                    batch_size=None,
                                    fn_constructor_args=(cfg.min_len,
-                                                        cfg.max_len),
+                                                        cfg.max_len,
+                                                        _polars_available()),
                                    concurrency=min(16, max(8, ncpu // 2)))
         else:
-            light = ds.map_batches(make_derive_fused(cfg.min_len, cfg.max_len),
+            light = ds.map_batches(make_derive_fused(cfg.min_len, cfg.max_len,
+                                                     _polars_available()),
                                    batch_format="pyarrow", batch_size=None)
         # materialize once: range violations + moments both consume it
         light = light.materialize()
         _mark("derive+materialize")
+        if uniq_from_light:
+            # uniqueness partials feed off the in-memory (keyh, part) columns
+            # — no second corpus read; overlaps the range/moments consumers
+            uniq_pre = light.select_columns(["keyh", "part"])
+            uniq_hint = light.count()
+            if not seq_uniq:
+                uniq_thread.start()
         # range violations and moments are independent consumers of the
         # materialized light table — overlap them in threads
         rv_box: dict[str, Any] = {}
