@@ -222,6 +222,24 @@ def test_uniqueness_bucketed_merge_path_equal(corpus, ray_session):
     assert _key(bucketed) == want
 
 
+def test_uniq_from_light_wiring_equal(corpus, tmp_path_factory, ray_session,
+                                      monkeypatch):
+    """The opt-in RTAD_UNIQ_FROM_LIGHT=1 wiring (uniqueness fed from the
+    keyh column of the materialized light table — no second corpus scan)
+    produces byte-identical violations/verdicts to the default overlapped
+    parquet key-scan wiring."""
+    cdir, _ = corpus
+    base = validate.run(cdir, str(tmp_path_factory.mktemp("uflA") / "o"), CFG)
+    monkeypatch.setenv("RTAD_UNIQ_FROM_LIGHT", "1")
+    light = validate.run(cdir, str(tmp_path_factory.mktemp("uflB") / "o"), CFG)
+    a = base.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    b = light.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        base.verdicts.reset_index(drop=True), light.verdicts.reset_index(drop=True)
+    )
+
+
 def test_rerun_noop_resume(corpus, tmp_path_factory, ray_session):
     cdir, _ = corpus
     odir = str(tmp_path_factory.mktemp("vnoop") / "o")

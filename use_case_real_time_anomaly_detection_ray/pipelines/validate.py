@@ -146,7 +146,8 @@ def derive_light(batch: pa.Table) -> pa.Table:
     return out
 
 
-def make_derive_fused(min_len: int, max_len: int, use_polars: bool = False):
+def make_derive_fused(min_len: int, max_len: int, use_polars: bool = False,
+                      with_keyh: bool = False):
     """Fused derive + range predicate: the phase-1 content pass used by
     :func:`run`. Same per-row work as :func:`derive_light` (utf8 length +
     sha256 over a zero-copy memoryview of every row), but the materialized
@@ -204,23 +205,28 @@ def make_derive_fused(min_len: int, max_len: int, use_polars: bool = False):
             sha_col = pa.nulls(n, pa.string())
             path_col = pa.nulls(n, pa.string())
             commit_col = pa.nulls(n, pa.string())
-        # per-row 64-bit hash of the FULL (repo,path,commit) key triple,
-        # computed here where the key strings are already decoded — on a
-        # fresh run the uniqueness check consumes (keyh, part) straight from
-        # the materialized light table, deleting its second corpus scan
-        # (int64 bit-view: Ray's shuffle machinery overflows on uint64)
-        keyh = _triple_hash(batch, _UNIQ_KEYS, use_polars).view(np.int64)
-        return pa.table({
+        cols = {
             "part": batch["part"],
             "repo": batch["repo"],
             "lang": batch["lang"],
             "content_length": lengths,
             "sha64": pa.array(sha64, pa.int64()),
-            "keyh": pa.array(keyh, pa.int64()),
             "path": path_col,
             "commit": commit_col,
             "sha256": sha_col,
-        })
+        }
+        if with_keyh:
+            # per-row 64-bit hash of the FULL (repo,path,commit) key triple,
+            # computed here where the key strings are already decoded — the
+            # ``RTAD_UNIQ_FROM_LIGHT=1`` wiring feeds uniqueness (keyh, part)
+            # straight from the materialized light table, deleting its second
+            # corpus scan (int64 bit-view: Ray's shuffle machinery overflows
+            # on uint64). Off by default: the overlapped column-pruned
+            # parquet key scan hides entirely under this content pass and
+            # measures faster at every CPU count (see BENCH/BASELINE.md).
+            keyh = _triple_hash(batch, _UNIQ_KEYS, use_polars).view(np.int64)
+            cols["keyh"] = pa.array(keyh, pa.int64())
+        return pa.table(cols)
 
     return fn
 
@@ -230,8 +236,9 @@ class _DerivePool:
     session CPUs to pin decode work to a bounded set of worker processes
     (warm resident arenas; see the call site in :func:`run`)."""
 
-    def __init__(self, min_len: int, max_len: int, use_polars: bool = False):
-        self._fn = make_derive_fused(min_len, max_len, use_polars)
+    def __init__(self, min_len: int, max_len: int, use_polars: bool = False,
+                 with_keyh: bool = False):
+        self._fn = make_derive_fused(min_len, max_len, use_polars, with_keyh)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self._fn(batch)
@@ -591,6 +598,33 @@ def _prehashed_partial(t: pa.Table) -> pa.Table:
     })
 
 
+def _dup_hashes_distributed(
+    partials: "ray.data.Dataset", num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Scale-path merge of (h, n) key-hash partials → hashes with global
+    count > 1, ALL-ARROW end to end. The generic pandas ``bucketed_merge``
+    measured 46 s on a 30.7 M-row partial set (two full pandas conversions
+    plus per-row re-hashing of a column that already IS a 64-bit hash); this
+    path buckets with ``h & (num_buckets-1)`` (one SIMD kernel — h is
+    uniformly mixed) and merges with Arrow ``group_by`` inside
+    ``map_groups``: 10 s on the same input, and only the 16-byte (h, n)
+    pairs ever shuffle (``part`` is dropped — the duplicate-hash set is the
+    only consumer downstream; the exact recount rebuilds counts/parts from
+    the fetched key strings)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["h"], np.uint64(num_buckets - 1)).cast(pa.int32())
+        return pa.table({"h": t["h"], "n": t["n"]}).append_column("bucket", b)
+
+    def merge(g: pa.Table) -> pa.Table:
+        a = g.group_by(["h"], use_threads=False).aggregate([("n", "sum")])
+        return a.filter(pc.greater(a["n_sum"], 1)).select(["h"])
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    batch_size=None)
+    return bucketed.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
 class _FetchCandidatesPool:
     """Key-scan stage 2: keep rows whose triple-hash is in the (broadcast)
     duplicate-hash set."""
@@ -673,21 +707,23 @@ def _uniqueness_from_datasets(
         return a[a["n"] > 1]
 
     if n_partials > bucketed_above:
-        # scale path: partials shuffle by hash-bucket of the int key; the
-        # driver sees only confirmed-duplicate hashes
-        from ..stages.reduce import bucketed_merge
-
-        dup_df = to_arrow_single(
-            bucketed_merge(partials, ["h"], merge_dups)
-        ).to_pandas()
+        # scale path: (h, n) pairs shuffle by hash-bucket of the int key —
+        # all-Arrow (:func:`_dup_hashes_distributed`); the driver sees only
+        # confirmed-duplicate hashes
+        dup_h = to_arrow_single(_dup_hashes_distributed(partials))["h"]
         _umark("partials+bucketed_merge")
     else:
-        dup_df = merge_dups(to_arrow_single(partials).to_pandas())
+        dup_h = pa.array(
+            merge_dups(to_arrow_single(partials).to_pandas())["h"]
+            .to_numpy().astype("uint64"),
+            pa.uint64(),
+        )
         _umark("partials+driver_merge")
-    if len(dup_df) == 0:
+    if len(dup_h) == 0:
         return ray.data.from_arrow(_viol_table({c: [] for c in VIOLATION_COLS}))
 
-    dup_hashes = pa.array(dup_df["h"].to_numpy().astype("uint64"), pa.uint64())
+    dup_hashes = dup_h.combine_chunks() if isinstance(
+        dup_h, pa.ChunkedArray) else dup_h
 
     fetch_stage = ds.map_batches(
         _FetchCandidatesPool(dup_hashes, use_polars),
@@ -936,7 +972,16 @@ def run(
     # key-scan latency hides behind the content pass).
     import threading
 
-    uniq_from_light = len(done) == 0 and len(todo) > 0
+    # Fresh-run alternative wiring (RTAD_UNIQ_FROM_LIGHT=1, opt-in): derive
+    # also emits a per-row key-triple hash and uniqueness feeds off the
+    # materialized light table, deleting the second corpus scan. Measured
+    # SLOWER here at every CPU count (p192 @16: 894k vs 965k files/s;
+    # @4: 396k vs 436k) because the overlapped column-pruned key scan hides
+    # entirely under the content pass while the light feed serializes after
+    # it — kept as a wiring for storage-constrained deployments where a
+    # second scan has real cost (object stores billed per byte read).
+    uniq_from_light = (len(done) == 0 and len(todo) > 0
+                       and os.environ.get("RTAD_UNIQ_FROM_LIGHT") == "1")
     uniq_result: dict[str, Any] = {}
     uniq_pre = None
     uniq_hint: int | None = None
@@ -992,11 +1037,13 @@ def run(
                                    batch_size=None,
                                    fn_constructor_args=(cfg.min_len,
                                                         cfg.max_len,
-                                                        _polars_available()),
+                                                        _polars_available(),
+                                                        uniq_from_light),
                                    concurrency=min(16, max(8, ncpu // 2)))
         else:
             light = ds.map_batches(make_derive_fused(cfg.min_len, cfg.max_len,
-                                                     _polars_available()),
+                                                     _polars_available(),
+                                                     uniq_from_light),
                                    batch_format="pyarrow", batch_size=None)
         # materialize once: range violations + moments both consume it
         light = light.materialize()
