@@ -177,30 +177,52 @@ def _pair_dataset(
             g = g.sort_values(id_col, kind="mergesort").drop_duplicates(
                 bucket_keys + [collapse_col], keep="first"
             )
-        sz = g.groupby(bucket_keys, sort=False)[id_col].transform("size")
-        dup = g[sz > 1].sort_values(bucket_keys + [id_col], kind="mergesort")
-        if not len(dup):
+        if not len(g):
             return empty
-        a_out, b_out = [], []
-        for _, grp in dup.groupby(bucket_keys, sort=False):
-            ids = grp[id_col].to_numpy()
-            if len(ids) > max_bucket_size:
-                _LOG.warning(
-                    "LSH bucket truncated: %d of %d ids dropped "
-                    "(max_bucket_size=%d) — pairs among dropped ids are not "
-                    "candidates this pass",
-                    len(ids) - max_bucket_size, len(ids), max_bucket_size,
-                )
-                ids = ids[:max_bucket_size]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            a_out.append(ids[iu])
-            b_out.append(ids[ju])
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
-        return pa.table({"a": pa.array(a, id_type), "b": pa.array(b, id_type)})
+        # Triangle expansion VECTORIZED across every (band, hash) group in
+        # the bucket at once — a python loop per group costs one pandas
+        # groupby iteration per distinct LSH bucket (thousands of tiny
+        # groups per merge call; measured ~70% of the pair stage). Sorted
+        # by (keys, id), each row pairs as `b` with every EARLIER row of its
+        # group as `a`; per-row pair counts come from the local index, and
+        # the ragged [0..count) ranges are built with cumsum arithmetic.
+        g = g.sort_values(bucket_keys + [id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        kf = pd.factorize(
+            pd.MultiIndex.from_frame(g[bucket_keys]) if len(bucket_keys) > 1
+            else g[bucket_keys[0]]
+        )[0] if n else np.empty(0, np.int64)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[:1] = True
+        new_grp[1:] = kf[1:] != kf[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        local = np.arange(n) - grp_start
+        dropped = int((local >= max_bucket_size).sum())
+        if dropped:
+            _LOG.warning(
+                "LSH bucket truncated: %d ids beyond max_bucket_size=%d "
+                "dropped — pairs among dropped ids are not candidates "
+                "this pass", dropped, max_bucket_size,
+            )
+        cnt = np.where(local < max_bucket_size, local, 0)
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        b_out = np.repeat(ids, cnt)
+        first_pair = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(total) - np.repeat(first_pair, cnt)
+        a_out = ids[np.repeat(grp_start, cnt) + within]
+        return pa.table({"a": pa.array(a_out, id_type),
+                         "b": pa.array(b_out, id_type)})
 
-    pairs = grouped_agg(exploded, bucket_keys, lambda df: df, merge,
-                        num_buckets=num_buckets)
+    # straight to the bucketed shuffle — an identity "partial" stage here
+    # would only pay a full pandas roundtrip on the exploded band rows
+    pairs = bucketed_merge(exploded, bucket_keys, merge,
+                           num_buckets=num_buckets)
+    # the merge emits ~one micro-block per input block; coalesce before the
+    # distinct shuffle or its per-block fixed costs dwarf the (tiny) data
+    pairs = _coalesce_small(pairs.materialize(), rows_per_block=200_000)
     return distinct_rows(pairs, ["a", "b"])
 
 
@@ -657,12 +679,12 @@ def minhash_dedup(
     verified pairs for union-find."""
     import functools
 
-    exploded = ds.map_batches(
+    exploded = _coalesce_small(ds.map_batches(
         functools.partial(minhash_explode, id_col=id_col, text_col=text_col,
                           num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                           with_md5=True),
         batch_format="pyarrow",
-    ).materialize()
+    ).materialize(), rows_per_block=200_000, min_blocks=16)
     id_type = _id_type(exploded, id_col)
     id_md5 = exploded.map_batches(
         lambda t: t.filter(pc.equal(t["band"], 0)).select([id_col, "__md5"]),
@@ -888,12 +910,12 @@ def ngram_jaccard_pairs(
     The returned pair list is small by construction (it is the answer)."""
     import functools
 
-    exploded = ds.map_batches(
+    exploded = _coalesce_small(ds.map_batches(
         functools.partial(minhash_explode, id_col=id_col, text_col=text_col,
                           num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                           with_md5=True),
         batch_format="pyarrow",
-    ).materialize()
+    ).materialize(), rows_per_block=200_000, min_blocks=16)
     id_type = _id_type(exploded, id_col)
     out_cols = ["a", "b", "jaccard"]
     empty_out = pa.table({"a": pa.array([], id_type),

@@ -41,6 +41,34 @@ def _hash_keys(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np.nd
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _hash_keys_arrow(t: pa.Table, keys: Sequence[str],
+                     num_buckets: int) -> np.ndarray:
+    """Bucket ids straight from Arrow key columns — no full-table pandas
+    conversion (the map side of a shuffle must not pay a pandas roundtrip on
+    payload columns it never reads). Non-null integer keys mix via a
+    vectorized Fibonacci multiply; everything else hashes just that column
+    through ``pd.util.hash_array``. Bucket layout only needs to be
+    deterministic within one run, so the int path's different hash function
+    (vs the pandas fallback) is immaterial."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in keys:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type) and col.null_count == 0:
+                v = col.to_numpy(zero_copy_only=False).astype(
+                    np.uint64, copy=False)
+                hv = v * np.uint64(0x9E3779B97F4A7C15)
+                hv = hv ^ (hv >> np.uint64(29))
+            else:
+                hv = pd.util.hash_array(
+                    np.asarray(col.to_pandas())
+                ).astype(np.uint64)
+            h = h * np.uint64(1000003) + hv
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
 def bucketed_merge(
     partials: "ray.data.Dataset",
     keys: Sequence[str],
@@ -51,12 +79,13 @@ def bucketed_merge(
     bucket. ``merge_fn`` sees all partial rows of every key in its bucket."""
     keys = list(keys)
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.copy()
-        df[_BUCKET] = _hash_keys(df, keys, num_buckets)
-        return _pd_to_arrow(df)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _hash_keys_arrow(t, keys, num_buckets)
+        return t.replace_schema_metadata(None).append_column(
+            _BUCKET, pa.array(b, pa.int32()))
 
-    bucketed = partials.map_batches(add_bucket, batch_format="pandas")
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    batch_size=None)
 
     def merge(g: pd.DataFrame) -> pa.Table:
         out = merge_fn(g.drop(columns=[_BUCKET]))
