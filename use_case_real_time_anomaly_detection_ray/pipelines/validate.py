@@ -1024,7 +1024,7 @@ def run(
         import ray as _ray
 
         ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        if ncpu > 16:
+        if ncpu > 16 or os.environ.get("RTAD_DERIVE_POOL") == "1":
             # Beyond the physical-core count, stateless decode tasks rotate
             # across every spawned worker process and each process re-faults
             # a fresh arena (this guest serializes page-fault zeroing) —
