@@ -57,15 +57,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _typed_collect(fn: Callable[[str], Any]) -> Callable[[str], Any]:
-    """Collect Dataset results into a typed ``pa.Table`` for the compare.
+    """Collect Dataset results into a typed driver table for the compare.
 
     ``Dataset.to_pandas()`` over a pipeline whose blocks are ALL empty drops
     the schema (column-less DataFrame), so a query that legitimately finds
-    zero anomalies at some scale factor would fail the schema gate.
-    ``to_arrow_single`` recovers the schema from the dataset plan in that
-    case. Query outputs are small by construction (filtered anomaly /
-    verdict / dedup rows), so driver-side collection is what the compare
-    does anyway."""
+    zero anomalies at some scale factor would fail the schema gate. The
+    fast streaming ``to_pandas`` collect is kept for the (overwhelmingly
+    common) non-empty case — collecting through ``to_arrow_refs`` instead
+    measured +55 % on copy_log — and only a column-less result re-collects
+    through ``to_arrow_single``, which recovers the schema from the dataset
+    plan (the re-execution is a fully-filtered pipeline, and the compare is
+    off the hot path anyway). Query outputs are small by construction
+    (filtered anomaly / verdict / dedup rows), so driver-side collection is
+    what the compare does anyway."""
     import functools
 
     @functools.wraps(fn)
@@ -78,7 +82,10 @@ def _typed_collect(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
         res = fn(sf_dir)
         if isinstance(res, ray.data.Dataset):
-            return to_arrow_single(res)
+            df = res.to_pandas()
+            if len(df.columns) == 0:
+                return to_arrow_single(res)
+            return df
         return res
 
     return wrapped

@@ -28,11 +28,13 @@ def _markers_sql(lang: str) -> str:
 
 
 def _docs(sf_dir: str):
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      compute_heavy=True)
 
 
 def _embs(sf_dir: str):
-    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                      compute_heavy=True)
 
 
 # --------------------------------------------------------------------------

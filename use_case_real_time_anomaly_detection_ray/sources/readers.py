@@ -72,12 +72,21 @@ def read_table(
     sf_dir: str,
     name: str,
     columns: Sequence[str] | None = None,
+    compute_heavy: bool = False,
     **kwargs,
 ) -> "ray.data.Dataset":
     """Column-pruned Parquet read of one driver test table
     (``/root/testdata/sf*/NAME.parquet``). Always pass ``columns`` in
     pipelines — a read that loads all columns for a 2-column transform is
-    wrong at 100 TB."""
+    wrong at 100 TB.
+
+    ``compute_heavy=True`` floors the block count at
+    ``min(num_cpus, ceil(n/10k))`` so a small table still parallelizes an
+    expensive per-row pipeline (shingling, hashing, embedding math — the
+    ADVICE-r2 opt-in). Light scans leave it off: flooring EVERY read at the
+    CPU count re-fragmented the multi-stage anomaly pipelines (copy_log at
+    32 CPUs: 1.2 s → 2.1 s from 15 → 32 blocks rippling through every
+    downstream shuffle)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if "override_num_blocks" not in kwargs:
         # bound the block count to the table's size (~1 block / 50k rows,
@@ -99,10 +108,8 @@ def read_table(
             if _ray.is_initialized():
                 ncpu = int(_ray.cluster_resources().get("CPU", 4))
                 cap = max(16, 4 * ncpu)
-            # floor at min(num_cpus, ceil(n/10k)) — a flat floor of 1 would
-            # serialize every downstream compute-heavy stage for small tables
-            # (ADVICE r2); the 50k divisor still bounds micro-blocking.
-            floor = min(ncpu, max(1, _math.ceil(n / 10_000)))
+            floor = (min(ncpu, max(1, _math.ceil(n / 10_000)))
+                     if compute_heavy else 1)
             kwargs["override_num_blocks"] = int(max(floor, min(cap, n // 50_000)))
         except Exception:
             pass
