@@ -186,6 +186,30 @@ def _guarded_to_pandas(monkeypatch, n_corpus):
     return orig
 
 
+def test_verify_broadcast_equals_bucketed(corpus, monkeypatch):
+    """The shuffle-free broadcast verify (small pair sets) and the two-hop
+    bucketed co-location produce identical dedup output."""
+    df, _dup, _e = corpus
+
+    def run():
+        return (textops.minhash_dedup(_ds(df), threshold=0.6).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    fast = run()
+    monkeypatch.setattr(textops, "VERIFY_BROADCAST_BELOW", 0)
+    bucketed = run()
+    pd.testing.assert_frame_equal(fast, bucketed)
+
+    def run_sh():
+        return (textops.simhash_dedup(_ds(df), max_hamming=3).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    bucketed_sh = run_sh()
+    monkeypatch.undo()
+    fast_sh = run_sh()
+    pd.testing.assert_frame_equal(fast_sh, bucketed_sh)
+
+
 def test_dedup_tails_never_materialize_corpus(corpus, monkeypatch):
     """minhash/simhash/ngram run end-to-end with Dataset.to_pandas guarded:
     only sub-corpus pair/partial frames may reach the driver."""

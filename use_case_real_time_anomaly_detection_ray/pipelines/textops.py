@@ -278,6 +278,61 @@ def _shingle_payload(
     return ds.map_batches(mk, batch_format="pyarrow")
 
 
+#: Pair count below which verification broadcasts the (pair-filtered)
+#: payloads instead of running the two-hop bucketed co-location. The
+#: broadcast path runs ZERO shuffles — one distributed payload filter, one
+#: distributed scoring map — and the driver holds only the pair list and
+#: the pair-covered payloads (both ≤ this bound, the same provably-small
+#: argument as ``CLUSTER_DISTRIBUTED_ABOVE``). Above the bound nothing is
+#: pulled and the bucketed path runs.
+VERIFY_BROADCAST_BELOW = 100_000
+
+
+def _verify_pairs_broadcast(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    id_col: str,
+    id_type: pa.DataType,
+    pay_type: pa.DataType,
+    score_fn,
+) -> "ray.data.Dataset":
+    """Small-pair-set verification: broadcast the pair-covered payloads
+    (``ray.put`` once, fetched once per worker process) and score every pair
+    inside ONE ``map_batches`` — no sort shuffles at all (ray_guide:
+    broadcast small sides instead of a shuffle join). Scoring itself stays
+    distributed and vectorized; the driver never loops pairs."""
+    pair_tbl = to_arrow_single(pairs)  # ≤ VERIFY_BROADCAST_BELOW rows
+    ids = pa.concat_arrays([pair_tbl["a"].combine_chunks(),
+                            pair_tbl["b"].combine_chunks()]).unique()
+    ids_ref = ray.put(ids)
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=_fetch(ids_ref)))
+
+    pay_small = to_arrow_single(
+        payload.map_batches(keep_cands, batch_format="pyarrow")
+    )  # ≤ 2 × |pairs| rows
+    pay_ref = ray.put(pay_small)
+    # from_arrow yields ONE block — split so the (python-kernel) scoring
+    # parallelizes; ~2k pairs per task keeps task overhead trivial
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(1, min(ncpu, pair_tbl.num_rows // 2000 + 1))
+    pairs_ds = ray.data.from_arrow(pair_tbl).repartition(nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        pay = _fetch(pay_ref)
+        lut = pd.Series(pay["payload"].to_pandas().to_numpy(),
+                        index=pay[id_col].to_pandas())
+        pa_s = pd.Series(t["a"].to_pandas()).map(lut)
+        pb_s = pd.Series(t["b"].to_pandas()).map(lut)
+        s = np.asarray(score_fn(pa_s, pb_s), dtype=np.float64)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "score": pa.array(s, pa.float64())})
+
+    return pairs_ds.map_batches(score, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def _verify_pairs(
     pairs: "ray.data.Dataset",
     payload: "ray.data.Dataset",
@@ -286,6 +341,7 @@ def _verify_pairs(
     pay_type: pa.DataType,
     score_fn,
     num_buckets: int = 64,
+    broadcast_below: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed pair verification: attach each pair's two payloads via two
     bucketed co-locations (union-stream, join-free — the round-2 driver
@@ -298,8 +354,14 @@ def _verify_pairs(
     size. The payload Dataset is materialized here (it is candidate-sized
     and consumed by BOTH hops — left lazy, hop 2 would re-run the corpus
     scan in its lineage) and both inputs are coalesced out of micro-block
-    fragmentation."""
+    fragmentation. Below ``broadcast_below`` pairs the shuffle-free
+    broadcast variant runs instead (:func:`_verify_pairs_broadcast`)."""
     payload = _coalesce_small(payload.materialize())
+    if broadcast_below is None:
+        broadcast_below = VERIFY_BROADCAST_BELOW  # late-bound: patchable
+    if pairs.count() <= broadcast_below:
+        return _verify_pairs_broadcast(pairs, payload, id_col, id_type,
+                                       pay_type, score_fn)
     pay_placeholder = 0 if pa.types.is_integer(pay_type) else b""
 
     def pairs_stream(t: pa.Table) -> pa.Table:
