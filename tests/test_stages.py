@@ -117,3 +117,35 @@ def test_bucketed_join(micro):
     want = micro.merge(right, on="id")
     assert len(got) == len(want)
     assert np.isclose(got["w"].sum(), want["w"].sum())
+
+
+def test_bucketed_merge_null_int_keys_colocate(ray_session):
+    """The bucket hash must depend on the key TYPE only, never per-block
+    null_count: a key value present both in a null-free block and a
+    null-carrying block must land in ONE merge group (regression: the int
+    fast path used to apply only to null-free blocks, splitting key 42's
+    rows across two hash functions)."""
+    import pyarrow as pa
+
+    import ray as _ray
+    from use_case_real_time_anomaly_detection_ray.stages.reduce import (
+        bucketed_merge,
+        to_arrow_single,
+    )
+
+    t1 = pa.table({"k": pa.array([42, 7, 42], pa.int64()),
+                   "v": pa.array([1.0, 2.0, 3.0])})
+    t2 = pa.table({"k": pa.array([42, None, 7], pa.int64()),
+                   "v": pa.array([4.0, 5.0, 6.0])})
+    ds = _ray.data.from_arrow([t1, t2])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False, dropna=False)["v"].sum().reset_index()
+
+    out = to_arrow_single(bucketed_merge(ds, ["k"], merge, num_buckets=8)).to_pandas()
+    # every key reduced in exactly one group => one output row per key
+    assert len(out) == out["k"].nunique(dropna=False)
+    got = {(-1 if pd.isna(k) else int(k)): v for k, v in zip(out["k"], out["v"])}
+    assert got[42] == 1.0 + 3.0 + 4.0
+    assert got[7] == 2.0 + 6.0
+    assert got[-1] == 5.0

@@ -27,6 +27,20 @@ import ray.data
 
 from ..stages.join import _fetch
 
+import logging
+
+_LOG = logging.getLogger(__name__)
+
+#: Rows per LSH (band, sig) segment above which pair scoring truncates to
+#: the smallest ids with a logged drop — one segment of 10^5 identical
+#: embeddings would otherwise matmul O(seg²) (~80 GB) inside a single task.
+#: Mirrors ``textops.MAX_LSH_BUCKET``.
+MAX_ANN_SEGMENT = 20_000
+
+#: Row-chunk for the within-segment cosine matmul: peak memory is
+#: O(chunk × segment) = ~80 MB at the segment cap instead of O(segment²).
+_ANN_SCORE_CHUNK = 512
+
 
 def _list_col_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Arrow list<float> (or Ray's tensor extension array) → (n, d) float64
@@ -300,10 +314,12 @@ def _lsh_cosine_pairs(
             return empty
         band = t["band"].to_numpy()
         sig = t["sig"].to_numpy()
-        order = np.lexsort((sig, band))
+        # tertiary id key → deterministic segment truncation under skew
+        ids_all = np.asarray(t[id_col].to_pylist())
+        order = np.lexsort((ids_all, sig, band))
         band, sig = band[order], sig[order]
         m = _list_col_to_matrix(t[emb_col])[order]
-        ids = np.asarray(t[id_col].to_pylist())[order]
+        ids = ids_all[order]
         seg = np.flatnonzero(
             np.r_[True, (band[1:] != band[:-1]) | (sig[1:] != sig[:-1])]
         )
@@ -312,17 +328,38 @@ def _lsh_cosine_pairs(
         for s0, s1 in zip(seg[:-1], seg[1:]):
             if s1 - s0 < 2:
                 continue
+            if s1 - s0 > MAX_ANN_SEGMENT:
+                # mass near-duplication: an unbounded segment would matmul
+                # O(seg²) in ONE task (10^5 identical embeddings → 80 GB).
+                # Keep the smallest ids (deterministic via the id sort key)
+                # and log the drop, mirroring textops.MAX_LSH_BUCKET.
+                _LOG.warning(
+                    "ANN LSH segment truncated: %d of %d rows dropped "
+                    "(MAX_ANN_SEGMENT=%d) — pairs among dropped rows are "
+                    "not candidates this pass",
+                    s1 - s0 - MAX_ANN_SEGMENT, s1 - s0, MAX_ANN_SEGMENT,
+                )
+                s1 = s0 + MAX_ANN_SEGMENT
             mm = _normalize(m[s0:s1])
-            cos = mm @ mm.T
-            ai, bi = np.nonzero(np.triu(cos >= threshold, k=1))
-            if not ai.size:
-                continue
+            n_seg = s1 - s0
             ia = ids[s0:s1]
-            a, b, c = ia[ai], ia[bi], cos[ai, bi]
-            swap = a > b
-            a_out.append(np.where(swap, b, a))
-            b_out.append(np.where(swap, a, b))
-            c_out.append(c)
+            # row-chunked scoring bounds peak memory at O(chunk × segment)
+            # instead of O(segment²); per-element dot products (and thus the
+            # reported cosines) are bitwise identical to the full matmul
+            for i0 in range(0, n_seg, _ANN_SCORE_CHUNK):
+                i1 = min(i0 + _ANN_SCORE_CHUNK, n_seg)
+                cos = mm[i0:i1] @ mm.T  # (chunk, n_seg)
+                upper = (np.arange(n_seg)[None, :]
+                         > np.arange(i0, i1)[:, None])
+                al, bi = np.nonzero((cos >= threshold) & upper)
+                if not al.size:
+                    continue
+                c = cos[al, bi]
+                a, b = ia[al + i0], ia[bi]
+                swap = a > b
+                a_out.append(np.where(swap, b, a))
+                b_out.append(np.where(swap, a, b))
+                c_out.append(c)
         if not a_out:
             return empty
         return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),

@@ -270,7 +270,9 @@ def _shingle_payload(
     def mk(t: pa.Table) -> pa.Table:
         ids = _fetch(ref)
         sub = t.filter(pc.is_in(t[id_col], value_set=ids))
-        pay = [np.sort(T.word_shingles(x, shingle_k)).tobytes()
+        # word_shingles returns SORTED unique values (its documented
+        # contract — np.unique output), so no re-sort here
+        pay = [T.word_shingles(x, shingle_k).tobytes()
                for x in sub[text_col].to_pylist()]
         return pa.table({id_col: sub[id_col],
                          "payload": pa.array(pay, pa.large_binary())})
@@ -288,6 +290,13 @@ def _shingle_payload(
 VERIFY_BROADCAST_BELOW = 100_000
 
 
+#: Byte budget for the broadcast-verify payload pull. The pair-row bound
+#: alone proves nothing about BYTES (100k pairs over 50 KB documents is
+#: ~10 GB of shingle sets); past this budget the broadcast attempt returns
+#: None and the bucketed co-location runs instead.
+VERIFY_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _verify_pairs_broadcast(
     pairs: "ray.data.Dataset",
     payload: "ray.data.Dataset",
@@ -295,12 +304,15 @@ def _verify_pairs_broadcast(
     id_type: pa.DataType,
     pay_type: pa.DataType,
     score_fn,
-) -> "ray.data.Dataset":
+) -> "ray.data.Dataset | None":
     """Small-pair-set verification: broadcast the pair-covered payloads
     (``ray.put`` once, fetched once per worker process) and score every pair
     inside ONE ``map_batches`` — no sort shuffles at all (ray_guide:
     broadcast small sides instead of a shuffle join). Scoring itself stays
-    distributed and vectorized; the driver never loops pairs."""
+    distributed and vectorized; the driver never loops pairs. Returns None
+    (caller falls back to the bucketed co-location) when the pair-covered
+    payload BYTES exceed ``VERIFY_BROADCAST_MAX_BYTES`` — the size check
+    runs on distributed metadata before anything is pulled."""
     pair_tbl = to_arrow_single(pairs)  # ≤ VERIFY_BROADCAST_BELOW rows
     ids = pa.concat_arrays([pair_tbl["a"].combine_chunks(),
                             pair_tbl["b"].combine_chunks()]).unique()
@@ -309,9 +321,11 @@ def _verify_pairs_broadcast(
     def keep_cands(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t[id_col], value_set=_fetch(ids_ref)))
 
-    pay_small = to_arrow_single(
-        payload.map_batches(keep_cands, batch_format="pyarrow")
-    )  # ≤ 2 × |pairs| rows
+    pay_ds = payload.map_batches(keep_cands,
+                                 batch_format="pyarrow").materialize()
+    if (pay_ds.size_bytes() or 0) > VERIFY_BROADCAST_MAX_BYTES:
+        return None
+    pay_small = to_arrow_single(pay_ds)  # ≤ 2 × |pairs| rows, byte-bounded
     pay_ref = ray.put(pay_small)
     # from_arrow yields ONE block — split so the (python-kernel) scoring
     # parallelizes; ~2k pairs per task keeps task overhead trivial
@@ -360,8 +374,10 @@ def _verify_pairs(
     if broadcast_below is None:
         broadcast_below = VERIFY_BROADCAST_BELOW  # late-bound: patchable
     if pairs.count() <= broadcast_below:
-        return _verify_pairs_broadcast(pairs, payload, id_col, id_type,
+        fast = _verify_pairs_broadcast(pairs, payload, id_col, id_type,
                                        pay_type, score_fn)
+        if fast is not None:
+            return fast  # else: payload bytes over budget → bucketed path
     pay_placeholder = 0 if pa.types.is_integer(pay_type) else b""
 
     def pairs_stream(t: pa.Table) -> pa.Table:

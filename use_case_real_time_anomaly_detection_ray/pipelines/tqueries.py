@@ -181,11 +181,16 @@ WITH RECURSIVE w AS (
          ELSE []::VARCHAR[] END AS sh
   FROM w
 ), pairs AS (
+  -- jaccard(empty, empty) = 1.0, matching the engine (empty-shingle docs
+  -- share identical all-max MinHash signatures and always co-bucket); an
+  -- unguarded 0/0 is NULL in DuckDB and would silently drop those pairs
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM s x JOIN s y ON x.doc_id < y.doc_id
-  WHERE len(list_intersect(x.sh, y.sh))
-        / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        >= 0.5
+  WHERE CASE WHEN len(x.sh) + len(y.sh) = 0 THEN 1.0
+             ELSE len(list_intersect(x.sh, y.sh))
+                  / CAST(len(x.sh) + len(y.sh)
+                         - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        END >= 0.5
 ), edges AS (
   SELECT a AS u, b AS v FROM pairs
   UNION ALL SELECT b, a FROM pairs

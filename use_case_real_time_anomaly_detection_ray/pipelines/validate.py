@@ -341,10 +341,15 @@ def combined_light_stats(
             [("_ok", "count"), ("_ok", "sum"), ("_l", "sum"), ("_l2", "sum"),
              ("_l", "min"), ("_l", "max"), ("_nn", "sum")]
         )
-        g = g.rename_columns(
-            ["part", "repo", "lang", "n_all", "n", "s", "s2", "mn", "mx",
-             "n_null"]
-        )
+        # select by the AGGREGATE names pyarrow emits ("<col>_<fn>") — a
+        # positional rename silently mislabels every stat if the keys-vs-
+        # aggregates column order differs across pyarrow versions
+        g = pa.table({
+            "part": g["part"], "repo": g["repo"], "lang": g["lang"],
+            "n_all": g["_ok_count"], "n": g["_ok_sum"],
+            "s": g["_l_sum"], "s2": g["_l2_sum"],
+            "mn": g["_l_min"], "mx": g["_l_max"], "n_null": g["_nn_sum"],
+        })
         if "sha64" in t.column_names:
             # XOR-fold of the per-row content digests per part — associative,
             # so the per-block fold here and the per-part fold on the driver

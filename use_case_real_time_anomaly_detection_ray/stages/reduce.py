@@ -19,6 +19,7 @@ from collections.abc import Callable, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -56,7 +57,15 @@ def _hash_keys_arrow(t: pa.Table, keys: Sequence[str],
             col = t[c]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            if pa.types.is_integer(col.type) and col.null_count == 0:
+            # the hash function must depend on the column TYPE only — never
+            # on per-block properties like null_count, or the same key value
+            # hashes into different buckets in different blocks and its rows
+            # silently never co-locate. Nulls fold to 0 here (a bucket
+            # collision with the 0 key, harmless — the vectorized merge
+            # still distinguishes null from 0 inside the group).
+            if pa.types.is_integer(col.type):
+                if col.null_count:
+                    col = pc.fill_null(col, 0)
                 v = col.to_numpy(zero_copy_only=False).astype(
                     np.uint64, copy=False)
                 hv = v * np.uint64(0x9E3779B97F4A7C15)
