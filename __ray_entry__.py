@@ -84,7 +84,9 @@ def _typed_collect(fn: Callable[[str], Any]) -> Callable[[str], Any]:
         if isinstance(res, ray.data.Dataset):
             df = res.to_pandas()
             if len(df.columns) == 0:
-                return to_arrow_single(res)
+                # one return type for all callers: the recovered Arrow schema
+                # survives the to_pandas conversion (ADVICE r3)
+                return to_arrow_single(res).to_pandas()
             return df
         return res
 

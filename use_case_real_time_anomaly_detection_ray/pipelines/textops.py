@@ -413,6 +413,13 @@ def _verify_pairs(
         pay = (g[g["kind"] == 1].drop_duplicates("key")
                .set_index("key")["payload"])
         pa_vals = pr["key"].map(pay)
+        # payloads are derived from the pair ids themselves, so a miss here
+        # is a payload-coverage regression — fail with the ids, not as an
+        # unattributable NaN→Arrow cast error two stages later (ADVICE r3)
+        if pa_vals.isna().any():
+            missing = sorted(pr["key"][pa_vals.isna()].unique().tolist())[:10]
+            raise AssertionError(
+                f"_verify_pairs: no payload for pair-side-a ids {missing}")
         return pa.table({
             "key": pa.array(pr["other"].to_numpy(), id_type),
             "other": pa.array(pr["key"].to_numpy(), id_type),
@@ -427,6 +434,10 @@ def _verify_pairs(
         pay = (g[g["kind"] == 1].drop_duplicates("key")
                .set_index("key")["payload"])
         pb_vals = pr["key"].map(pay)
+        if pb_vals.isna().any():
+            missing = sorted(pr["key"][pb_vals.isna()].unique().tolist())[:10]
+            raise AssertionError(
+                f"_verify_pairs: no payload for pair-side-b ids {missing}")
         score = np.asarray(score_fn(pr["payload"], pb_vals), dtype=np.float64)
         return pa.table({
             "a": pa.array(pr["other"].to_numpy(), id_type),

@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .reduce import _hash_keys_arrow
+
 
 #: per-process cache of fetched broadcast objects (a local-plasma ray.get is
 #: near-free, but caching also skips deserialization of pandas payloads).
@@ -120,11 +122,12 @@ def add_hash_bucket(
     on = list(on)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in on:
-            col = batch[c].to_pandas()
-            h = h * np.uint64(1000003) + pd.util.hash_array(np.asarray(col)).astype(np.uint64)
-        return batch.append_column(out_col, pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+        # shared null-safe hasher (stages.reduce): bucket ids must depend on
+        # the key TYPE only — a pandas roundtrip here upcast null-carrying
+        # int blocks to float64 and hashed equal keys into different buckets
+        # per block (ADVICE r3)
+        b = _hash_keys_arrow(batch, on, num_buckets)
+        return batch.append_column(out_col, pa.array(b, pa.int32()))
 
     return ds.map_batches(bucketize, batch_format="pyarrow")
 

@@ -33,15 +33,6 @@ def _pd_to_arrow(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
-def _hash_keys(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np.ndarray:
-    h = np.zeros(len(df), dtype=np.uint64)
-    for c in keys:
-        h = h * np.uint64(1000003) + pd.util.hash_array(
-            np.asarray(df[c])
-        ).astype(np.uint64)
-    return (h % np.uint64(num_buckets)).astype(np.int32)
-
-
 def _hash_keys_arrow(t: pa.Table, keys: Sequence[str],
                      num_buckets: int) -> np.ndarray:
     """Bucket ids straight from Arrow key columns — no full-table pandas
