@@ -212,16 +212,37 @@ def test_verify_broadcast_equals_bucketed(corpus, monkeypatch):
 
 def test_dedup_tails_never_materialize_corpus(corpus, monkeypatch):
     """minhash/simhash/ngram run end-to-end with Dataset.to_pandas guarded:
-    only sub-corpus pair/partial frames may reach the driver."""
+    only sub-corpus pair/partial frames may reach the driver. The >2M-pair
+    clustering path (forced via threshold 0) additionally runs with
+    ``to_arrow_refs`` guarded against label-row pulls — the fixpoint
+    detector must sum per-block hash partials, never fetch (node, label)
+    rows to the driver (VERDICT r3 #2)."""
     df, dup_pairs, _e = corpus
     n = len(df)
     _guarded_to_pandas(monkeypatch, n)
+    orig_refs = ray.data.Dataset.to_arrow_refs
+
+    def guarded_refs(self):
+        try:
+            names = set(self.schema().names)
+        except Exception:
+            names = set()
+        assert names != {"node", "label"}, \
+            "propagate_clusters pulled label rows via to_arrow_refs"
+        return orig_refs(self)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_arrow_refs", guarded_refs)
     mh = textops.minhash_dedup(_ds(df), threshold=0.6)
+    mh_dist = textops.minhash_dedup(_ds(df), threshold=0.6,
+                                    distributed_cluster_above=0)
     sh = textops.simhash_dedup(_ds(df), max_hamming=3)
     pairs = textops.ngram_jaccard_pairs(_ds(df), threshold=0.5)
     monkeypatch.undo()
     out = mh.to_pandas()
     assert len(out) == n and out["keep"].sum() < n
+    out_dist = mh_dist.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out_dist)
     assert len(sh.to_pandas()) == n
     assert len(pairs) > 0
 
