@@ -67,6 +67,16 @@ _LOG = logging.getLogger(__name__)
 #: BEFORE this cap applies, so only mass near-duplication can hit it.
 MAX_LSH_BUCKET = 1000
 
+#: Output pairs per exact-duplicate class (and per class×class cross
+#: product) above which ``ngram_jaccard_pairs``' answer re-expansion
+#: truncates, keeping the row-major-first pairs over the sorted members
+#: (with a logged drop count). The LSH/bucket caps bound CANDIDATE work;
+#: this bounds the ANSWER: two 10^5-member duplicate classes linked by one
+#: verified rep pair would otherwise materialize 10^10 rows in one task
+#: (VERDICT r3 #1). Expansion is generated index-arithmetically in O(cap),
+#: never as the full |A|×|B| product.
+MAX_CLASS_EXPANSION = 1_000_000
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -893,11 +903,31 @@ def simhash_dedup(
 # n-gram Jaccard pairs
 # --------------------------------------------------------------------------
 
+def _capped_triu(c: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``k`` (i, j) index pairs of the size-``c`` upper triangle in
+    row-major order, built in O(k) — never materializes the full triangle."""
+    if k <= 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    cnt = np.arange(c - 1, 0, -1, dtype=np.int64)
+    ends = np.cumsum(cnt)
+    nrows = int(np.searchsorted(ends, k, side="left")) + 1
+    cnt = cnt[:nrows].copy()
+    taken = int(ends[nrows - 1])
+    if taken > k:
+        cnt[-1] -= taken - k
+    iu = np.repeat(np.arange(nrows, dtype=np.int64), cnt)
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    ju = iu + 1 + (np.arange(k, dtype=np.int64) - np.repeat(starts, cnt))
+    return iu, ju
+
+
 def _expand_class_pairs(
     verified: "ray.data.Dataset",
     mem: "ray.data.Dataset",
     id_type: pa.DataType,
     num_buckets: int = 64,
+    max_class_expansion: int = MAX_CLASS_EXPANSION,
 ) -> "ray.data.Dataset":
     """Cross-expand verified representative pairs over exact-duplicate
     classes: (ra, rb, j) → class(ra) × class(rb), each with the same exact
@@ -956,13 +986,24 @@ def _expand_class_pairs(
         a_out, b_out, j_out = [], [], []
         for k, a_list, j in zip(pr["key"], pr["mem"], pr["j"]):
             extra = mm.get(k)
-            b_list = [k] + (list(extra) if extra is not None else [])
-            a_arr = np.asarray(list(a_list) * len(b_list), dtype=object)
-            b_arr = np.asarray(np.repeat(np.asarray(b_list, dtype=object),
-                                         len(a_list)), dtype=object)
-            a_out.append(a_arr)
-            b_out.append(b_arr)
-            j_out.append(np.full(len(a_arr), j, dtype=np.float64))
+            b_list = np.asarray([k] + (list(extra) if extra is not None
+                                       else []), dtype=object)
+            a_list = np.asarray(list(a_list), dtype=object)
+            la = len(a_list)
+            total = la * len(b_list)
+            take = min(total, max_class_expansion)
+            if take < total:
+                _LOG.warning(
+                    "class-pair expansion truncated: %d of %d cross-product "
+                    "pairs emitted for rep pair (%s, %s) "
+                    "(MAX_CLASS_EXPANSION=%d)",
+                    take, total, a_list[0], k, max_class_expansion,
+                )
+            # row-major index arithmetic — O(take), never the |A|×|B| product
+            p = np.arange(take, dtype=np.int64)
+            a_out.append(a_list[p % la])
+            b_out.append(b_list[p // la])
+            j_out.append(np.full(take, j, dtype=np.float64))
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
         swap = a > b
@@ -997,6 +1038,7 @@ def ngram_jaccard_pairs(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket_size: int = MAX_LSH_BUCKET,
+    max_class_expansion: int = MAX_CLASS_EXPANSION,
 ) -> pd.DataFrame:
     """(a, b, jaccard) for pairs with exact word-n-gram Jaccard ≥ threshold,
     candidate-pruned by MinHash-LSH (the scale path — no O(n²) scan).
@@ -1005,7 +1047,10 @@ def ngram_jaccard_pairs(
     answer re-expands over the class members afterwards (intra-class pairs
     at Jaccard 1.0 plus the cross product of each verified rep pair) — work
     is O(reps² within buckets + |answer|), the information-theoretic floor.
-    The returned pair list is small by construction (it is the answer)."""
+    The returned pair list is small by construction (it is the answer,
+    and every per-class expansion is additionally capped at
+    ``max_class_expansion`` pairs with a logged drop — mass duplication
+    cannot blow up a single task or the driver pull)."""
     import functools
 
     exploded = _coalesce_small(ds.map_batches(
@@ -1070,7 +1115,16 @@ def ngram_jaccard_pairs(
             reps = t["rep"].to_pylist()
             for rep, members in zip(reps, t["members"].to_pylist()):
                 cls = np.asarray([rep] + list(members), dtype=object)
-                iu, ju = np.triu_indices(len(cls), k=1)
+                c = len(cls)
+                total = c * (c - 1) // 2
+                take = min(total, max_class_expansion)
+                if take < total:
+                    _LOG.warning(
+                        "exact-dup class of %d members: %d of %d intra-class "
+                        "pairs emitted (MAX_CLASS_EXPANSION=%d)",
+                        c, take, total, max_class_expansion,
+                    )
+                iu, ju = _capped_triu(c, take)
                 a_out.append(cls[iu])
                 b_out.append(cls[ju])
             a = np.concatenate(a_out) if a_out else np.empty(0, object)
@@ -1081,7 +1135,9 @@ def ngram_jaccard_pairs(
 
         frames = [mem.map_batches(intra_pairs, batch_format="pyarrow")]
         if verified.count():
-            frames.append(_expand_class_pairs(verified, mem, id_type))
+            frames.append(_expand_class_pairs(
+                verified, mem, id_type,
+                max_class_expansion=max_class_expansion))
         out = frames[0].union(*frames[1:]) if len(frames) > 1 else frames[0]
 
     df = to_arrow_single(out).to_pandas()
