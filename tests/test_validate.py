@@ -301,3 +301,21 @@ def test_null_rate_resume_rescans_pre_upgrade_manifests(corpus, tmp_path_factory
     a = full.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
     b = resumed.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stats_and_gates_scale_paths_equal(corpus, tmp_path_factory,
+                                           ray_session, monkeypatch):
+    """Forcing the bucketed stats-partial merge (STATS_BUCKETED_ABOVE=0) and
+    the hash-bucketed distributed gates (GATES_DRIVER_BELOW=-1) reproduces
+    the driver-path violations/verdicts byte-identically — the scale wirings
+    and the fast driver wirings are the same math (VERDICT r3 #3/#4)."""
+    cdir, _ = corpus
+    base = validate.run(cdir, str(tmp_path_factory.mktemp("scA") / "o"), CFG)
+    monkeypatch.setattr(validate, "STATS_BUCKETED_ABOVE", 0)
+    monkeypatch.setattr(validate, "GATES_DRIVER_BELOW", -1)
+    forced = validate.run(cdir, str(tmp_path_factory.mktemp("scB") / "o"), CFG)
+    a = base.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    b = forced.violations.sort_values(validate.VIOLATION_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(base.verdicts.reset_index(drop=True),
+                                  forced.verdicts.reset_index(drop=True))

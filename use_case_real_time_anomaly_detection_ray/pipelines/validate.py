@@ -370,8 +370,11 @@ def combined_light_stats(
     kw: dict[str, Any] = (
         {"concurrency": max(8, ncpu // 2)} if ncpu > 16 else {}
     )  # bound worker-process rotation past the physical-core count
-    parts = light.map_batches(partial, batch_format="pyarrow",
-                              batch_size=None, **kw).to_pandas()
+    parts_ds = light.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None, **kw).materialize()
+    if parts_ds.count() > STATS_BUCKETED_ABOVE:
+        return _merge_light_stats_distributed(parts_ds)
+    parts = parts_ds.to_pandas()
     if len(parts) == 0:
         return (
             pd.DataFrame(columns=["part", "repo", "n", "s", "s2", "mn", "mx"]),
@@ -393,6 +396,85 @@ def combined_light_stats(
     null_stats = (parts.groupby("part", sort=False)
                   .agg(**null_aggs)
                   .reset_index())
+    return stats, lang_stats, null_stats
+
+
+#: Moment-partial row count above which the (part, repo, lang) stats merge
+#: routes through the all-Arrow bucketed shuffle instead of a driver-side
+#: pandas groupby. The partial set is O(distinct keys × blocks-touched) —
+#: at 10^6 repos × 10^5 blocks it is driver-OOM territory (VERDICT r3 #3);
+#: below the bound the driver merge is faster (no shuffle fixed cost).
+STATS_BUCKETED_ABOVE = 5_000_000
+
+
+def _merge_light_stats_distributed(
+    parts_ds: "ray.data.Dataset",
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Scale-path merge of the per-block moment partials: same all-Arrow
+    bucketed shape as :func:`_dup_hashes_distributed` — bucket by the
+    null-safe key hash (``stages.reduce._hash_keys_arrow``), merge each
+    bucket with ``pa.Table.group_by`` inside ``map_groups`` — so the driver
+    receives only the three MERGED frames (O(parts × repos / langs) rows,
+    exactly what the driver path produces). Bitwise-equal to the driver
+    merge regardless of partial order: every sum is over integer-valued
+    float64 (content lengths and counts), exact under reassociation.
+
+    The ``sha_xor`` lineage fold groups by ``part`` alone, so each part's
+    rows land wholly in one bucket and the in-bucket XOR fold is complete
+    (XOR is associative/commutative)."""
+    from ..stages.reduce import _hash_keys_arrow
+
+    has_sha = "sha_xor" in parts_ds.schema().names
+
+    def grouped(keys: list[str], merge) -> pd.DataFrame:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = _hash_keys_arrow(t, keys, 64)
+            return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+        ds = parts_ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  batch_size=None)
+        out = ds.groupby("__bucket").map_groups(
+            lambda g: merge(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+        return to_arrow_single(out).to_pandas()
+
+    def merge_stats(g: pa.Table) -> pa.Table:
+        a = g.group_by(["part", "repo"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum"),
+             ("mn", "min"), ("mx", "max")]
+        )
+        return pa.table({"part": a["part"], "repo": a["repo"],
+                         "n": a["n_sum"], "s": a["s_sum"], "s2": a["s2_sum"],
+                         "mn": a["mn_min"], "mx": a["mx_max"]})
+
+    def merge_lang(g: pa.Table) -> pa.Table:
+        a = g.group_by(["part", "lang"], use_threads=False).aggregate(
+            [("n_all", "sum")]
+        )
+        return pa.table({"part": a["part"], "lang": a["lang"],
+                         "n": a["n_all_sum"]})
+
+    def merge_null(g: pa.Table) -> pa.Table:
+        a = g.group_by(["part"], use_threads=False).aggregate(
+            [("n_all", "sum"), ("n_null", "sum")]
+        )
+        cols = {"part": a["part"], "n": a["n_all_sum"],
+                "n_null": a["n_null_sum"]}
+        if has_sha:
+            parts_np = g["part"].to_numpy()
+            sha = g["sha_xor"].to_numpy()
+            out_parts = a["part"].to_numpy()
+            vals = np.zeros(len(out_parts), np.int64)
+            for i, p in enumerate(out_parts):
+                vals[i] = np.bitwise_xor.reduce(sha[parts_np == p])
+            cols["sha_xor"] = pa.array(vals, pa.int64())
+        return pa.table(cols)
+
+    stats = grouped(["part", "repo"], merge_stats)
+    stats = stats[stats["n"] > 0].reset_index(drop=True)
+    lang_stats = grouped(["part", "lang"], merge_lang)
+    null_stats = grouped(["part"], merge_null)
     return stats, lang_stats, null_stats
 
 
@@ -865,24 +947,36 @@ def gate_violations(
 
         return _viol_table(rows)
 
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        tabs = [score_repo(gr) for _, gr in g.groupby("repo", sort=True)]
+        ne = [x for x in tabs if x.num_rows]
+        return (pa.concat_tables(ne) if ne
+                else _viol_table({c: [] for c in VIOLATION_COLS}))
+
     if len(stats_f) <= GATES_DRIVER_BELOW:
         # driver fast path: the series table is (repos × parts) rows — a Ray
         # groupby here costs ~0.4 s of pure overhead at any CPU count (a
         # fixed cost that caps scaling efficiency); the identical score_repo
         # runs per repo in-process instead
-        tabs = [score_repo(g)
-                for _, g in stats_f.groupby("repo", sort=True)]
-        out = (pa.concat_tables([x for x in tabs if x.num_rows])
-               if any(x.num_rows for x in tabs)
-               else _viol_table({c: [] for c in VIOLATION_COLS}))
+        out = score_bucket(stats_f)
         return ray.data.from_arrow(out)
-    sds = ray.data.from_pandas(stats_f.reset_index(drop=True))
-    return sds.groupby("repo").map_groups(score_repo, batch_format="pandas")
+    # scale path: hash-bucket the repos and score every repo of a bucket in
+    # ONE task (the stages.reduce discipline) — groupby(repo).map_groups
+    # costs a Python task per distinct repo, ruinous at 10^5+ repos
+    # (VERDICT r3 #4); each bucket task runs the same score_bucket the
+    # driver path runs, so both wirings emit identical rows
+    from ..stages.reduce import bucketed_merge
+
+    sds = ray.data.from_arrow(
+        pa.Table.from_pandas(stats_f.reset_index(drop=True),
+                             preserve_index=False)
+    )
+    return bucketed_merge(sds, ["repo"], score_bucket)
 
 
 #: stats-row count below which the gates run as a plain driver loop; above
-#: it the distributed groupby(repo).map_groups path is unchanged — at 10^6
-#: repos that is the right shape.
+#: it the hash-bucketed distributed path scores all repos of a bucket per
+#: task — at 10^6 repos that is the right shape.
 GATES_DRIVER_BELOW = 200_000
 
 
@@ -1001,11 +1095,13 @@ def run(
 
     def _run_uniqueness() -> None:
         try:
+            # collected as ARROW: the pandas view is derived at join time,
+            # and the arrow table feeds the streamed global write directly
             uniq_result["table"] = to_arrow_single(
                 _uniqueness_from_datasets(uniq_pre, uniq_keys_ds,
                                           n_rows_hint=uniq_hint,
                                           pre_hashed=uniq_from_light)
-            ).to_pandas()
+            )
         except Exception as e:  # surfaced at join time
             uniq_result["error"] = e
 
@@ -1177,31 +1273,34 @@ def run(
     uniq_thread.join()
     if "error" in uniq_result:
         raise uniq_result["error"]
-    uniq = uniq_result["table"]
+    uniq_tbl = uniq_result["table"]
+    uniq = uniq_tbl.to_pandas()
     _mark("uniqueness")
     manifest_repos = set(
         pq.read_table(os.path.join(corpus_dir, "repos.parquet"))["repo"].to_pylist()
     )
-    ref = referential_violations(stats, manifest_repos).to_pandas()
+    ref_tbl = referential_violations(stats, manifest_repos)
+    ref = ref_tbl.to_pandas()
 
     # ---- phase 3: gates ----------------------------------------------------
-    gates = to_arrow_single(
-        gate_violations(stats, cfg, global_max_part, manifest_repos)
-    ).to_pandas()
-    lang_gates = (
-        lang_gate_violations(lang_stats, cfg).to_pandas()
-        if ("lang_zscore" in cfg.checks or "lang_iqr" in cfg.checks)
-        else pd.DataFrame(columns=VIOLATION_COLS)
-    )
-    lang_gates = lang_gates[
-        lang_gates["check"].isin([c for c in ("lang_zscore", "lang_iqr")
-                                  if c in cfg.checks])
-    ]
-    null_gates = (
-        null_rate_violations(null_stats, cfg).to_pandas()
+    gates_ds = gate_violations(stats, cfg, global_max_part,
+                               manifest_repos).materialize()
+    gates = to_arrow_single(gates_ds).to_pandas()
+    if "lang_zscore" in cfg.checks or "lang_iqr" in cfg.checks:
+        lang_tbl = lang_gate_violations(lang_stats, cfg)
+        allowed = [c for c in ("lang_zscore", "lang_iqr") if c in cfg.checks]
+        lang_tbl = lang_tbl.filter(
+            pc.is_in(lang_tbl["check"], value_set=pa.array(allowed, pa.string()))
+        )
+    else:
+        lang_tbl = _viol_table({c: [] for c in VIOLATION_COLS})
+    lang_gates = lang_tbl.to_pandas()
+    null_tbl = (
+        null_rate_violations(null_stats, cfg)
         if "null_rate" in cfg.checks
-        else pd.DataFrame(columns=VIOLATION_COLS)
+        else _viol_table({c: [] for c in VIOLATION_COLS})
     )
+    null_gates = null_tbl.to_pandas()
     _mark("gates")
 
     # ---- assemble ----------------------------------------------------------
@@ -1222,15 +1321,25 @@ def run(
         if frames
         else _viol_table({c: [] for c in VIOLATION_COLS}).to_pandas()
     )
+    # global (non-per-part) violations are WRITTEN from a Dataset union —
+    # blocks stream straight to parquet without a second driver-side concat
+    # copy, so an adversarial all-violating corpus lands in the object
+    # store, not driver RAM (VERDICT r3 #6). The returned DataFrame above
+    # remains the (by-design small) driver surface.
     gdir = os.path.join(out_dir, "violations", "global")
     tmp = gdir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    glob_df = pd.concat([f for f in (uniq, ref, gates) if len(f)], ignore_index=True) \
-        if any(len(f) for f in (uniq, ref, gates)) else range_df.iloc[0:0]
-    pq.write_table(pa.Table.from_pandas(glob_df.reset_index(drop=True),
-                                        preserve_index=False)
-                   if len(glob_df) else _viol_table({c: [] for c in VIOLATION_COLS}),
-                   os.path.join(tmp, "violations.parquet"))
+    pieces = [gates_ds] + [
+        ray.data.from_arrow(t)
+        for t in (uniq_tbl, ref_tbl, lang_tbl, null_tbl)
+        if t.num_rows
+    ]
+    global_ds = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
+    if global_ds.count():
+        global_ds.write_parquet(tmp)
+    else:
+        pq.write_table(_viol_table({c: [] for c in VIOLATION_COLS}),
+                       os.path.join(tmp, "violations.parquet"))
     if os.path.exists(gdir):
         import shutil
 
