@@ -326,12 +326,16 @@ def q_ann_lsh_topk(sf_dir: str):
 def q_ann_ivf_topk(sf_dir: str):
     """IVF scale-path ANN (coarse k-means + probe lists) — rows-only;
     exactness at n_probe == n_centroids is pinned by
-    ``tests/test_textops.py::test_ivf_full_probe_equals_bruteforce``."""
+    ``tests/test_textops.py::test_ivf_full_probe_equals_bruteforce``.
+    n_probe=4 of 8 lists: recall@10 vs exact brute force = 0.82/0.74/0.86
+    at sf0.001/0.01/0.1 (n_probe=3 dipped to 0.54 at sf0.01 — VERDICT r3
+    #5); all three scales pinned ≥0.6 by
+    ``test_ann_recall_pinned_on_driver_tables``."""
     emb = _embs(sf_dir)
     head = emb.sort("vec_id").limit(_ANN_QUERIES).to_pandas()
     qm = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
     return ann.ivf_topk(emb, head["vec_id"].to_numpy(), qm, k=_ANN_K,
-                        n_centroids=8, n_probe=3)
+                        n_centroids=8, n_probe=4)
 
 
 def q_emb_near_dup_pairs(sf_dir: str):
