@@ -118,13 +118,21 @@ def run_bench() -> dict:
     ).materialize()
 
     # ---- headline: full validation suite over the code corpus -------------
-    out_dir = f"/tmp/rtad_bench_out_{num_cpus}_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    res = validate.run(cdir, out_dir, ValidationConfig(), resume=False)
-    t_validate = time.perf_counter() - t0
+    # min of BENCH_SUITE_REPS runs: this guest sees bursty hypervisor steal
+    # (±50 % wall swings, see BENCH/BASELINE.md), and a single contaminated
+    # run measures the neighbor's load, not the engine. The scaling path
+    # already takes min-of-reps at the PROCESS level, so it pins this to 1.
+    suite_reps = int(os.environ.get("BENCH_SUITE_REPS", "2"))
+    rep_secs: list[float] = []
+    for rep in range(suite_reps):
+        out_dir = f"/tmp/rtad_bench_out_{num_cpus}_{os.getpid()}_{rep}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = validate.run(cdir, out_dir, ValidationConfig(), resume=False)
+        rep_secs.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(out_dir, ignore_errors=True)
+    t_validate = min(rep_secs)
     n_files = int(res.verdicts.drop_duplicates("part")["n_checked"].sum())
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- per-query timings over the driver tables --------------------------
     chosen = {
@@ -169,6 +177,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_files": n_files,
         "files_per_sec": round(n_files / t_validate, 1),
+        "suite_rep_secs": rep_secs,
     }
 
 
@@ -302,7 +311,8 @@ def run_scaling() -> None:
         while clean_runs < reps and attempts < reps + 4:
             attempts += 1
             s0 = steal_jiffies()
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_SUITE_REPS="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + extra,
                 env=env, capture_output=True, text=True, check=True,
