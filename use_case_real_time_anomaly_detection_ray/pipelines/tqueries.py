@@ -372,14 +372,16 @@ WHERE floor(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 
 
 def q_media_decode_features(sf_dir: str):
-    """Multimodal plumbing through the driver surface: deterministic synthetic
-    binary assets (sf-independent) → fixed-pool decode stage → per-asset
-    pixel features. The decode kernel is the documented stub
-    (``stages.multimodal.FakeDecoder``); the Ray plumbing is real."""
+    """Multimodal decode through the driver surface: deterministic synthetic
+    assets in REAL public formats (BMP images, PCM16 WAV audio, Y4M video,
+    cycled per row) → fixed-pool :class:`RealDecoder` stage → per-asset
+    value features. The decoders are spec-conformant pure-numpy/stdlib
+    (``stages/codecs.py``, byte-exact round-trip-tested); only compressed
+    codecs (PNG/JPEG/MP4) remain gated behind ``NotImplementedError``."""
     from ..stages.multimodal import decode_features, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(n=64, seed=42))
-    return decode_features(ds).map_batches(
+    ds = ray.data.from_arrow(synth_media_table(n=64, seed=42, fmt="mixed"))
+    return decode_features(ds, decoder="real").map_batches(
         lambda t: t.select(["asset_id", "media_type", "width", "height",
                             "pix_mean", "pix_std"]),
         batch_format="pyarrow",
@@ -387,11 +389,13 @@ def q_media_decode_features(sf_dir: str):
 
 
 def q_media_frame_sample(sf_dir: str):
-    """flat_map-shaped video frame sampling (1 asset row → n frame rows)."""
+    """flat_map-shaped video frame sampling (1 asset row → n frame rows) with
+    REAL Y4M frame extraction: every sampled frame's luma plane is seeked to
+    (O(1) per frame) and decoded; ``frame_mean`` is its actual pixel mean."""
     from ..stages.multimodal import sample_frames, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(n=32, seed=7, media_type="video"))
-    return sample_frames(ds, every_k=2)
+    ds = ray.data.from_arrow(synth_media_table(n=32, seed=7, fmt="y4m"))
+    return sample_frames(ds, every_k=2, decode=True)
 
 
 TEXT_QUERIES = {

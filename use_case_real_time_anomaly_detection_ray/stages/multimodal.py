@@ -1,13 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): :class:`FakeDecoder` produces a deterministic ndarray from the
-payload bytes, and ``decoder="real"`` raises ``NotImplementedError`` with the
-intended library call. Everything around the stub — the schema contract, the
-small-batch sizing for fat binary rows, the actor signature, the output tensor
-layout — is real, tested Ray plumbing, so swapping in a real codec is a
-one-function change.
+Two decoder tiers:
+
+- ``decoder="real"`` (:class:`RealDecoder`) — genuine spec-conformant
+  decoders for the uncompressed public formats implementable with pure
+  numpy + stdlib (:mod:`.codecs`): BMP and PGM images, PCM16 WAV audio,
+  YUV4MPEG2 (Y4M) video. Byte-exact round-trip-tested. Compressed formats
+  (PNG/JPEG/MP3/MP4/...) raise ``NotImplementedError`` naming the payload's
+  sniffed format and the intended library call — those codecs genuinely
+  need external libraries this container doesn't have.
+- ``decoder="fake"`` (:class:`FakeDecoder`) — deterministic ndarray from a
+  blake2b stream of the payload, for plumbing tests that want payload-shape
+  independence.
 
 Batch-size guidance (ray_guide 'Memory-aware'): binary payloads are KB–MB per
 row, so these stages default to small ``batch_size`` and
@@ -24,6 +29,8 @@ import pyarrow as pa
 
 import ray.data
 
+from . import codecs
+
 #: contract for a multimodal asset table
 MEDIA_SCHEMA = pa.schema(
     [
@@ -38,22 +45,49 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image") -> pa.Table:
-    """Deterministic fake asset table for tests/benchmarks."""
+def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image",
+                      fmt: str = "fake") -> pa.Table:
+    """Deterministic asset table for tests/benchmarks.
+
+    ``fmt="fake"`` keeps the legacy raw-bytes payloads (for
+    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "wav", "y4m"}`` encodes
+    REAL format bytes (``media_type`` is then implied by the format);
+    ``fmt="mixed"`` cycles bmp/wav/y4m per row."""
     rng = np.random.default_rng(seed)
-    payloads, w, h, f = [], [], [], []
+    rows = []
     for i in range(n):
+        row_fmt = fmt if fmt != "mixed" else ("bmp", "wav", "y4m")[i % 3]
         width, height = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        frames = 1 if media_type == "image" else int(rng.integers(2, 10))
-        payloads.append(rng.integers(0, 256, size=width * height, dtype=np.uint8).tobytes())
-        w.append(width)
-        h.append(height)
-        f.append(frames)
+        if row_fmt == "fake":
+            frames = 1 if media_type == "image" else int(rng.integers(2, 10))
+            payload = rng.integers(0, 256, size=width * height,
+                                   dtype=np.uint8).tobytes()
+            rows.append((media_type, "fake", width, height, frames, payload))
+        elif row_fmt in ("bmp", "pgm"):
+            img = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+            enc = codecs.encode_bmp if row_fmt == "bmp" else codecs.encode_pgm
+            rows.append(("image", row_fmt, width, height, 1, enc(img)))
+        elif row_fmt == "wav":
+            n_samp = int(rng.integers(500, 2000))
+            t = np.arange(n_samp)
+            freq = float(rng.uniform(0.01, 0.2))
+            samples = (8000 * np.sin(freq * t)
+                       + rng.integers(-500, 500, n_samp)).astype(np.int16)
+            rows.append(("audio", "wav", -1, -1, 1, codecs.encode_wav(samples)))
+        elif row_fmt == "y4m":
+            frames = int(rng.integers(2, 10))
+            vid = rng.integers(0, 256, size=(frames, height, width),
+                               dtype=np.uint8)
+            rows.append(("video", "y4m", width, height, frames,
+                         codecs.encode_y4m(vid)))
+        else:
+            raise ValueError(f"unknown fmt {row_fmt!r}")
+    mt, ft, w, h, f, payloads = zip(*rows)
     return pa.table(
         {
             "asset_id": pa.array(range(n), pa.int64()),
-            "media_type": pa.array([media_type] * n, pa.string()),
-            "format": pa.array(["fake"] * n, pa.string()),
+            "media_type": pa.array(mt, pa.string()),
+            "format": pa.array(ft, pa.string()),
             "width": pa.array(w, pa.int32()),
             "height": pa.array(h, pa.int32()),
             "n_frames": pa.array(f, pa.int32()),
@@ -82,21 +116,45 @@ class FakeDecoder:
         return out.reshape(height, width)
 
 
+class RealDecoder:
+    """Spec-conformant decode for the uncompressed public formats
+    (:mod:`.codecs`), dispatched on magic bytes. Returns the decoded array:
+    (h, w) uint8 for images, (n,) int16 for audio, (n_frames, h, w) uint8
+    for video. Compressed payloads raise ``NotImplementedError`` naming the
+    sniffed format and the library a full deployment would plug in here."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        kind = codecs.sniff_format(payload)
+        if kind == "bmp":
+            return codecs.decode_bmp(payload)
+        if kind == "pgm":
+            return codecs.decode_pgm(payload)
+        if kind == "wav":
+            return codecs.decode_wav(payload)[1]
+        if kind == "y4m":
+            return codecs.decode_y4m(payload)
+        raise NotImplementedError(
+            f"payload sniffs as {kind!r}: compressed codecs need an external "
+            "library (PIL.Image.open / soundfile.read / av.open) not present "
+            "in this container; re-encode as bmp/pgm/wav/y4m or use "
+            "decoder='fake' for plumbing tests"
+        )
+
+
 class DecodeStage:
     """Actor-pool stage: payload → decoded tensor + basic features.
 
-    ``decoder="fake"`` (default here) uses :class:`FakeDecoder`;
-    ``decoder="real"`` documents the intended call and raises — the image
-    libraries are not available in this environment."""
+    ``decoder="real"`` (:class:`RealDecoder`) decodes actual BMP/PGM/WAV/Y4M
+    bytes; ``decoder="fake"`` (:class:`FakeDecoder`, default for legacy raw
+    payloads) synthesizes deterministic pixels. Output columns are identical
+    either way: ``pix_mean``/``pix_std`` are the mean/std over the decoded
+    array (pixels, samples, or all video luma), ``shape`` its dimensions."""
 
     def __init__(self, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real decode would be e.g. PIL.Image.open(io.BytesIO(payload)) "
-                "/ torchaudio.load / pyav frame iteration — libraries not "
-                "available in this container; use decoder='fake'"
-            )
-        self.decoder = FakeDecoder()
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
+        self.real = decoder == "real"
+        self.decoder = RealDecoder() if self.real else FakeDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -104,10 +162,18 @@ class DecodeStage:
         hs = batch["height"].to_pylist()
         means, stds, shapes = [], [], []
         for p, w, h in zip(payloads, ws, hs):
-            img = self.decoder.decode(p, w, h)
-            means.append(float(img.mean()))
-            stds.append(float(img.std()))
-            shapes.append([h, w])
+            if self.real:
+                arr = self.decoder.decode(p)
+                if arr.ndim == 2 and w >= 0 and (arr.shape != (h, w)):
+                    raise ValueError(
+                        f"metadata says {h}x{w} but payload decodes to "
+                        f"{arr.shape}"
+                    )
+            else:
+                arr = self.decoder.decode(p, w, h)
+            means.append(float(arr.mean()))
+            stds.append(float(arr.std()))
+            shapes.append(list(arr.shape))
         out = batch.drop_columns(["payload"])  # decoded stage drops fat bytes
         out = out.append_column("pix_mean", pa.array(means, pa.float64()))
         out = out.append_column("pix_std", pa.array(stds, pa.float64()))
@@ -121,17 +187,27 @@ class ResizeStage:
     the layout an embedding model consumes."""
 
     def __init__(self, target: int = 16, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError("real resize = PIL Image.resize / cv2.resize")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
         self.target = target
-        self.decoder = FakeDecoder()
+        self.real = decoder == "real"
+        self.decoder = RealDecoder() if self.real else FakeDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
         feats = []
         for p, w, h in zip(batch["payload"].to_pylist(), batch["width"].to_pylist(),
                            batch["height"].to_pylist()):
-            img = self.decoder.decode(p, w, h)
+            if self.real:
+                img = self.decoder.decode(p)
+                if img.ndim == 3:       # video: resize the first frame
+                    img = img[0]
+                elif img.ndim == 1:     # audio has no 2-D resize
+                    raise ValueError("ResizeStage is image/video-only; "
+                                     "filter audio rows upstream")
+                h, w = img.shape
+            else:
+                img = self.decoder.decode(p, w, h)
             yi = (np.arange(t) * h // t).clip(0, h - 1)
             xi = (np.arange(t) * w // t).clip(0, w - 1)
             feats.append((img[np.ix_(yi, xi)].astype(np.float32) / 255.0).ravel())
@@ -145,20 +221,43 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Video plumbing: emit ``every_k``-th frame index row per asset
-    (flat_map-shaped: one input row → n output rows)."""
+    """Video plumbing: emit ``every_k``-th frame row per asset
+    (flat_map-shaped: one input row → n output rows).
 
-    def __init__(self, every_k: int = 2):
+    ``decode=False`` emits (asset_id, frame_index) from metadata only.
+    ``decode=True`` requires Y4M payloads: each sampled frame's luma plane
+    is actually extracted (O(1) seek per frame — no full-stream decode) and
+    its mean is emitted as ``frame_mean``; the metadata ``n_frames`` is
+    cross-checked against the stream's real frame count."""
+
+    def __init__(self, every_k: int = 2, decode: bool = False):
         self.every_k = every_k
+        self.decode = decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames = [], []
-        for aid, nf in zip(batch["asset_id"].to_pylist(), batch["n_frames"].to_pylist()):
+        ids, frames, means = [], [], []
+        payloads = batch["payload"].to_pylist() if self.decode else None
+        for i, (aid, nf) in enumerate(zip(batch["asset_id"].to_pylist(),
+                                          batch["n_frames"].to_pylist())):
+            if self.decode:
+                payload = payloads[i]
+                real_n = codecs.y4m_frame_count(payload)
+                if real_n != nf:
+                    raise ValueError(
+                        f"asset {aid}: metadata n_frames={nf} but Y4M stream "
+                        f"has {real_n} frames"
+                    )
             for fi in range(0, nf, self.every_k):
                 ids.append(aid)
                 frames.append(fi)
-        return pa.table({"asset_id": pa.array(ids, pa.int64()),
-                         "frame_index": pa.array(frames, pa.int32())})
+                if self.decode:
+                    means.append(
+                        float(codecs.decode_y4m_frame(payload, fi).mean()))
+        cols = {"asset_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(frames, pa.int32())}
+        if self.decode:
+            cols["frame_mean"] = pa.array(means, pa.float64())
+        return pa.table(cols)
 
 
 #: Fixed-size actor pools, NOT an autoscaling ``(1, N)`` pool: a pool that
@@ -174,10 +273,11 @@ def decode_features(
     ds: "ray.data.Dataset",
     concurrency: int = _DEFAULT_POOL,
     batch_size: int = 64,  # small: payload rows are fat
+    decoder: str = "fake",
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        DecodeStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        DecodeStage, fn_constructor_args=(decoder,), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
     )
 
 
@@ -186,16 +286,18 @@ def resize_features(
     target: int = 16,
     concurrency: int = _DEFAULT_POOL,
     batch_size: int = 64,
+    decoder: str = "fake",
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        ResizeStage, fn_constructor_args=(target,), batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
+        ResizeStage, fn_constructor_args=(target, decoder),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
 
 
 def sample_frames(ds: "ray.data.Dataset", every_k: int = 2,
-                  concurrency: int = _DEFAULT_POOL) -> "ray.data.Dataset":
+                  concurrency: int = _DEFAULT_POOL,
+                  decode: bool = False) -> "ray.data.Dataset":
     return ds.map_batches(
-        FrameSampleStage, fn_constructor_args=(every_k,), batch_format="pyarrow",
-        concurrency=concurrency, batch_size=256,
+        FrameSampleStage, fn_constructor_args=(every_k, decode),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=256,
     )
