@@ -44,6 +44,9 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_QUERIES
+    from use_case_real_time_anomaly_detection_ray.pipelines.streamops import (
+        STREAM_QUERIES,
+    )
     from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import TEXT_QUERIES
     from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
         VALIDATION_QUERIES,
@@ -53,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(ANOMALY_QUERIES)
     out.update(VALIDATION_QUERIES)
     out.update(TEXT_QUERIES)
+    out.update(STREAM_QUERIES)
     return {name: _typed_collect(fn) for name, fn in out.items()}
 
 
@@ -97,6 +101,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Non-SQL-expressible
     ops are intentionally absent (driver records a rows-only check)."""
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import ANOMALY_ORACLE
+    from use_case_real_time_anomaly_detection_ray.pipelines.streamops import (
+        STREAM_ORACLE,
+    )
     from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import TEXT_ORACLE
     from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
         VALIDATION_ORACLE,
@@ -106,4 +113,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ANOMALY_ORACLE)
     out.update(VALIDATION_ORACLE)
     out.update(TEXT_ORACLE)
+    out.update(STREAM_ORACLE)
     return out

@@ -1,0 +1,120 @@
+"""Edge-case pins for the event-stream operators (`pipelines/streamops.py`):
+gap boundaries, equal-timestamp as-of ties, unmatched left rows, empty
+strata — the corners the driver-scale oracles may not exercise."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from use_case_real_time_anomaly_detection_ray.pipelines import streamops as SO
+
+
+def _events(rows):
+    """rows: (event_id, user_id, ts_us, event_type, value)"""
+    eid, uid, ts, et, val = zip(*rows)
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(list(ts), pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(val, pa.float64()),
+    }))
+
+
+US = 1_000_000
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """A gap EXACTLY equal to gap_us does NOT break the session (> not >=,
+    matching the SQL); one microsecond more does."""
+    gap = SO.SESSION_GAP_US
+    ds = _events([
+        (1, 7, 0, "view", 1.0),
+        (2, 7, gap, "view", 2.0),            # exactly gap later: same session
+        (3, 7, 2 * gap + 1, "view", 3.0),    # gap+1 later: new session
+    ]).drop_columns(["event_type"])
+    out = SO.sessionize(ds).to_pandas().sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    assert out["session_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["sum_value"].tolist() == [3.0, 3.0]
+
+
+def test_sessionize_per_user_ids_restart(ray_session):
+    ds = _events([
+        (1, 1, 0, "v", 1.0), (2, 1, 10**13, "v", 1.0),
+        (3, 2, 5, "v", 1.0),
+    ]).drop_columns(["event_type"])
+    out = SO.sessionize(ds).to_pandas()
+    by_user = out.groupby("user_id")["session_id"].max()
+    assert by_user[1] == 2 and by_user[2] == 1  # ids restart per user
+
+
+def test_asof_equal_ts_matches(ray_session):
+    """A right row at EXACTLY the left timestamp matches (<= semantics)."""
+    left = _events([(1, 3, 1000, "p", 0.0)]).drop_columns(
+        ["event_type", "value"])
+    right = _events([(9, 3, 1000, "v", 0.0)]).select_columns(
+        ["user_id", "ts"])
+    out = SO.asof_join(left, right).to_pandas()
+    assert len(out) == 1 and out.loc[0, "gap_us"] == 0
+
+
+def test_asof_unmatched_is_null(ray_session):
+    left = _events([(1, 3, 1000, "p", 0.0),
+                    (2, 4, 2000, "p", 0.0)]).drop_columns(
+        ["event_type", "value"])
+    right = _events([(9, 3, 1500, "v", 0.0)]).select_columns(
+        ["user_id", "ts"])   # after user 3's event; user 4 has none
+    out = SO.asof_join(left, right).to_pandas().sort_values("event_id")
+    assert out["matched_ts"].isna().all()
+    assert out["gap_us"].isna().all()
+
+
+def test_asof_picks_latest_not_first(ray_session):
+    left = _events([(1, 3, 10 * US, "p", 0.0)]).drop_columns(
+        ["event_type", "value"])
+    right = _events([(8, 3, 2 * US, "v", 0.0),
+                     (9, 3, 7 * US, "v", 0.0),
+                     (10, 3, 11 * US, "v", 0.0)]).select_columns(
+        ["user_id", "ts"])
+    out = SO.asof_join(left, right).to_pandas()
+    assert out.loc[0, "gap_us"] == 3 * US  # matched the 7s row, not 2s/11s
+
+
+def test_tumbling_distinct_users_across_blocks(ray_session):
+    """The same user appearing in many blocks counts ONCE per window."""
+    rows = [(i, i % 3, (i % 2) * SO._US_PER_HOUR, "click", 1.0)
+            for i in range(60)]
+    ds = _events(rows).repartition(8)
+    out = SO.tumbling_agg(ds).to_pandas().sort_values("window_start")
+    assert (out["n_users"] == 3).all()
+    assert out["n_events"].sum() == 60
+    assert (out["sum_value"] == out["n_events"] * 1.0).all()
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    import hashlib
+
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "lang": pa.array((["en", "zh"] * 200), pa.string()),
+        "source": pa.array(["s"] * 400, pa.string()),
+        "n_chars": pa.array([1] * 400, pa.int64()),
+    })
+    out1 = SO.hash_sample(ray.data.from_arrow(t)).to_pandas()
+    out2 = SO.hash_sample(ray.data.from_arrow(t)).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)       # deterministic
+    # exact membership recompute
+    for _, r in out1.iterrows():
+        hv = int.from_bytes(
+            hashlib.md5(str(r.doc_id).encode()).digest()[:4], "big")
+        cut = (SO.SAMPLE_THRESHOLDS.get(r.lang, SO.SAMPLE_DEFAULT_THRESHOLD))
+        assert hv < cut
+    # en stratum keeps ~2x the zh stratum
+    n_en = (out1.lang == "en").sum()
+    n_zh = (out1.lang == "zh").sum()
+    assert n_en > n_zh > 0

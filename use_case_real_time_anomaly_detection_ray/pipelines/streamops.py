@@ -1,0 +1,375 @@
+"""Event-stream operators a large-scale pipeline needs that Ray Data lacks
+natively: gap sessionization, as-of join, tumbling-window aggregation, and
+deterministic hash-stratified sampling — each as a distributed composition
+of ``map_batches`` + the bucketed-merge discipline (`stages/reduce.py`), and
+each oracle-paired (DuckDB window functions / ASOF JOIN / md5 reproduce the
+exact semantics, so the driver gets rows+schema+hash checks, not rows-only).
+
+Partitioning assumptions (documented per the custom-operator contract):
+
+- ``sessionize`` / ``asof_join`` need each key's full history co-located;
+  they hash-bucket by ``user_id`` and sort within the bucket. The shuffle
+  ships only the pruned working columns, never the full row. A pathological
+  single hot user lands in one task — the same bound any per-key window has.
+- ``tumbling_agg`` is two pre-aggregated bucket merges (the exact
+  count-distinct shape): blocks shrink to per-(window, type, user) partials
+  before anything shuffles.
+- ``hash_sample`` is stateless map-only — embarrassingly parallel at any
+  scale.
+
+Float determinism (BENCH/BASELINE.md tricks): money-like ``value`` sums go
+through the shared half-up integer-cents form ``floor(value*100 + 0.5)`` on
+BOTH engine and oracle sides; timestamps are compared as μs integers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..sources.readers import read_table
+from ..stages.reduce import bucketed_merge
+
+_US_PER_HOUR = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Timestamp column → int64 μs (never through pandas ns arithmetic)."""
+    return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """Shared half-up 2-decimal integerization (same formula as the SQL)."""
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# gap sessionization
+# --------------------------------------------------------------------------
+
+def sessionize(
+    events: "ray.data.Dataset",
+    gap_us: int = SESSION_GAP_US,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Split each user's event stream into sessions at inactivity gaps
+    > ``gap_us``; emit one row per session with start/end/count/value sum.
+
+    Distributed shape: hash-bucket by ``user_id`` (full per-user history in
+    one task — the minimum any sessionizer needs), then a fully vectorized
+    in-bucket pass: one mergesort by (user, ts, event_id), run-boundary
+    detection with shifted compares, and a pandas groupby over the session
+    run ids. No per-user Python loop."""
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = _ts_us(g["ts"])
+        n = len(g)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(n, bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_s = new_user | gap_break
+        run = np.cumsum(new_s)                     # global session run id
+        user_starts = np.flatnonzero(new_user)
+        run_at_start = np.repeat(run[user_starts],
+                                 np.diff(np.append(user_starts, n)))
+        sid = run - run_at_start + 1               # 1-based per user
+        d = pd.DataFrame({
+            "user_id": uid, "session_id": sid, "ts_us": ts,
+            "cents": _cents(g["value"].to_numpy()),
+        })
+        a = (d.groupby(["user_id", "session_id"], sort=True)
+             .agg(start=("ts_us", "min"), end=("ts_us", "max"),
+                  n_events=("ts_us", "size"), cents=("cents", "sum"))
+             .reset_index())
+        return pa.table({
+            "user_id": pa.array(a["user_id"].to_numpy(), pa.int64()),
+            "session_id": pa.array(a["session_id"].to_numpy(), pa.int64()),
+            "session_start": pa.array(a["start"].to_numpy(), pa.int64())
+                               .cast(pa.timestamp("us")),
+            "session_end": pa.array(a["end"].to_numpy(), pa.int64())
+                             .cast(pa.timestamp("us")),
+            "n_events": pa.array(a["n_events"].to_numpy(), pa.int64()),
+            "sum_value": pa.array(a["cents"].to_numpy() / 100.0,
+                                  pa.float64()),
+        })
+
+    return bucketed_merge(events, ["user_id"], merge, num_buckets)
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """LEFT AS-OF join: each left row (event_id, user_id, ts) matches the
+    latest right (user_id, ts) with ``right.ts <= left.ts``; unmatched rows
+    keep NULLs (DuckDB ``ASOF LEFT JOIN`` semantics).
+
+    Distributed shape: tag the two sides, union, hash-bucket by key, then a
+    single vectorized merge-scan per bucket — sort by (user, ts, side) with
+    the right side first at equal ts (``<=``), forward-fill the last right
+    timestamp within each user run, and emit the left rows. O(n log n) per
+    bucket, no per-key loop; only the pruned key/ts columns shuffle."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__side",
+                                   pa.array(np.full(t.num_rows, side,
+                                                    np.int8)))
+        return f
+
+    lt = left.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "__side"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = _ts_us(g["ts"])
+        side = g["__side"].to_numpy()
+        right_ts = pd.Series(np.where(side == 0, ts.astype(np.float64),
+                                      np.nan))
+        # forward-fill within user runs (uid is sorted → run-id grouper)
+        run = np.cumsum(np.r_[True, uid[1:] != uid[:-1]])
+        ff = right_ts.groupby(run).ffill().to_numpy()
+        is_left = side == 1
+        matched = ff[is_left]
+        miss = np.isnan(matched)
+        view_us = np.where(miss, 0, matched).astype(np.int64)
+        out_ts = ts[is_left]
+        eid = g["event_id"].to_numpy()[is_left]
+        # nullable construction straight in Arrow (no object-dtype pass)
+        view_arr = pa.array(view_us, pa.int64(),
+                            mask=miss).cast(pa.timestamp("us"))
+        gap_arr = pa.array(out_ts - view_us, pa.int64(), mask=miss)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid[is_left], pa.int64()),
+            "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+            "matched_ts": view_arr,
+            "gap_us": gap_arr,
+        })
+
+    return bucketed_merge(both, ["user_id"], merge, num_buckets)
+
+
+# --------------------------------------------------------------------------
+# tumbling-window aggregate
+# --------------------------------------------------------------------------
+
+def tumbling_agg(
+    events: "ray.data.Dataset",
+    window_us: int = _US_PER_HOUR,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per (tumbling time window, event_type): event count, DISTINCT user
+    count, min/max value, exact-cents value sum.
+
+    Distributed shape (the scalable count-distinct composition): blocks
+    pre-aggregate to per-(window, type, user) partials inside
+    ``map_batches`` — the only rows that ever shuffle — then a first bucket
+    merge collapses duplicate (window, type, user) partials across blocks,
+    and a second tiny merge folds users into the per-(window, type) answer.
+    Distinct-user state is never an unbounded set in one task."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        win = _ts_us(df["ts"]) // window_us * window_us
+        d = pd.DataFrame({
+            "win_us": win, "event_type": df["event_type"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "cents": _cents(df["value"].to_numpy()),
+            "mn": df["value"].to_numpy(), "mx": df["value"].to_numpy(),
+        })
+        a = (d.groupby(["win_us", "event_type", "user_id"], sort=False)
+             .agg(n=("cents", "size"), cents=("cents", "sum"),
+                  mn=("mn", "min"), mx=("mx", "max")).reset_index())
+        return pa.Table.from_pandas(a, preserve_index=False)
+
+    partials = events.map_batches(partial, batch_format="pandas",
+                                  batch_size=None)
+
+    def merge_user(g: pd.DataFrame) -> pa.Table:
+        a = (g.groupby(["win_us", "event_type", "user_id"], sort=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum"),
+                  mn=("mn", "min"), mx=("mx", "max")).reset_index())
+        return pa.Table.from_pandas(a, preserve_index=False)
+
+    per_user = bucketed_merge(partials, ["win_us", "event_type", "user_id"],
+                              merge_user, num_buckets)
+
+    def merge_window(g: pd.DataFrame) -> pa.Table:
+        a = (g.groupby(["win_us", "event_type"], sort=True)
+             .agg(n_events=("n", "sum"), n_users=("user_id", "size"),
+                  mn=("mn", "min"), mx=("mx", "max"),
+                  cents=("cents", "sum")).reset_index())
+        return pa.table({
+            "window_start": pa.array(a["win_us"].to_numpy(), pa.int64())
+                              .cast(pa.timestamp("us")),
+            "event_type": pa.array(a["event_type"], pa.string()),
+            "n_events": pa.array(a["n_events"].to_numpy(), pa.int64()),
+            "n_users": pa.array(a["n_users"].to_numpy(), pa.int64()),
+            "min_value": pa.array(a["mn"].to_numpy(), pa.float64()),
+            "max_value": pa.array(a["mx"].to_numpy(), pa.float64()),
+            "sum_value": pa.array(a["cents"].to_numpy() / 100.0,
+                                  pa.float64()),
+        })
+
+    return bucketed_merge(per_user, ["win_us", "event_type"], merge_window,
+                          num_buckets)
+
+
+# --------------------------------------------------------------------------
+# deterministic hash-stratified sampling
+# --------------------------------------------------------------------------
+
+#: per-stratum keep thresholds over the md5 32-bit fraction space;
+#: ``floor(rate * 2^32)`` — integers so engine and SQL compare identically
+SAMPLE_THRESHOLDS = {"en": 2_147_483_648}   # 0.5
+SAMPLE_DEFAULT_THRESHOLD = 1_073_741_824    # 0.25
+
+
+def hash_sample(
+    docs: "ray.data.Dataset",
+    thresholds: dict[str, int] | None = None,
+    default_threshold: int = SAMPLE_DEFAULT_THRESHOLD,
+) -> "ray.data.Dataset":
+    """Deterministic stratified sampling: keep a document iff the first 32
+    bits of ``md5(str(doc_id))`` fall under its stratum's threshold. The
+    same row is kept on every run, every engine, every cluster size —
+    reproducible corpus subsets without a shuffle or an RNG seed protocol.
+    Stateless map-only; filter+project fused in one stage (empty-block
+    schema rule)."""
+    th = dict(SAMPLE_THRESHOLDS if thresholds is None else thresholds)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hv = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big")
+             for i in ids),
+            np.int64, len(ids),
+        )
+        langs = t["lang"].to_pylist()
+        cut = np.fromiter((th.get(l, default_threshold) for l in langs),
+                          np.int64, len(langs))
+        return t.filter(pa.array(hv < cut))
+
+    return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# driver queries + DuckDB oracles
+# --------------------------------------------------------------------------
+
+def q_events_sessionize(sf_dir: str):
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return sessionize(ev)
+
+
+def q_events_asof_join(sf_dir: str):
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pick(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["event_type"], kind)) \
+                    .drop_columns(["event_type"])
+        return f
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow",
+                          batch_size=None)
+    right = ev.map_batches(pick("view"), batch_format="pyarrow",
+                           batch_size=None)
+    return asof_join(left, right)
+
+
+def q_events_hourly_windows(sf_dir: str):
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "user_id", "value"])
+    return tumbling_agg(ev)
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    return hash_sample(docs)
+
+
+STREAM_QUERIES = {
+    "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_hourly_windows": q_events_hourly_windows,
+    "doc_sample_stratified": q_doc_sample_stratified,
+}
+
+SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+SQL_ASOF = """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS matched_ts,
+       CASE WHEN v.ts IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+SQL_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      < CASE WHEN lang = 'en' THEN {SAMPLE_THRESHOLDS['en']}
+             ELSE {SAMPLE_DEFAULT_THRESHOLD} END
+"""
+
+STREAM_ORACLE = {
+    "events_sessionize": SQL_SESSIONIZE,
+    "events_asof_join": SQL_ASOF,
+    "events_hourly_windows": SQL_HOURLY,
+    "doc_sample_stratified": SQL_SAMPLE,
+}
