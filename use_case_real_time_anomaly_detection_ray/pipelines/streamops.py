@@ -198,7 +198,8 @@ def tumbling_agg(
         a = (d.groupby(["win_us", "event_type", "user_id"], sort=False)
              .agg(n=("cents", "size"), cents=("cents", "sum"),
                   mn=("mn", "min"), mx=("mx", "max")).reset_index())
-        return pa.Table.from_pandas(a, preserve_index=False)
+        return pa.Table.from_pandas(
+            a, preserve_index=False).replace_schema_metadata(None)
 
     partials = events.map_batches(partial, batch_format="pandas",
                                   batch_size=None)
@@ -207,7 +208,8 @@ def tumbling_agg(
         a = (g.groupby(["win_us", "event_type", "user_id"], sort=False)
              .agg(n=("n", "sum"), cents=("cents", "sum"),
                   mn=("mn", "min"), mx=("mx", "max")).reset_index())
-        return pa.Table.from_pandas(a, preserve_index=False)
+        return pa.Table.from_pandas(
+            a, preserve_index=False).replace_schema_metadata(None)
 
     per_user = bucketed_merge(partials, ["win_us", "event_type", "user_id"],
                               merge_user, num_buckets)
