@@ -118,3 +118,43 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     n_en = (out1.lang == "en").sum()
     n_zh = (out1.lang == "zh").sum()
     assert n_en > n_zh > 0
+
+
+def test_range_join_boundary_semantics(ray_session):
+    """Window is (ts - 1h, ts]: a view exactly 1h before is excluded, a view
+    exactly at the purchase timestamp is included."""
+    H = SO._US_PER_HOUR
+    left = _events([(1, 5, 2 * H, "p", 0.0)]).drop_columns(
+        ["event_type", "value"])
+    right = _events([(8, 5, H, "v", 0.0),          # exactly 1h before: OUT
+                     (9, 5, H + 1, "v", 0.0),      # just inside: IN
+                     (10, 5, 2 * H, "v", 0.0),     # equal ts: IN
+                     (11, 5, 2 * H + 1, "v", 0.0)  # after: OUT
+                     ]).select_columns(["user_id", "ts"])
+    out = SO.range_join_count(left, right).to_pandas()
+    assert out.loc[0, "n_in_window"] == 2
+
+
+def test_range_join_no_cross_user_bleed(ray_session):
+    """User A's lookback reaching before their first event must not count
+    user B's rows (the composite-key clamp)."""
+    H = SO._US_PER_HOUR
+    # force both users into ONE bucket so the composite key is exercised
+    left = _events([(1, 1, 10, "p", 0.0),
+                    (2, 2, 10, "p", 0.0)]).drop_columns(
+        ["event_type", "value"])
+    right = _events([(8, 1, 5, "v", 0.0),
+                     (9, 2, 5, "v", 0.0),
+                     (10, 2, 6, "v", 0.0)]).select_columns(["user_id", "ts"])
+    out = (SO.range_join_count(left, right, lookback_us=H, num_buckets=1)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["n_in_window"].tolist() == [1, 2]
+
+
+def test_range_join_zero_matches(ray_session):
+    left = _events([(1, 5, 10**12, "p", 0.0)]).drop_columns(
+        ["event_type", "value"])
+    right = _events([(8, 6, 10**12, "v", 0.0)]).select_columns(
+        ["user_id", "ts"])
+    out = SO.range_join_count(left, right).to_pandas()
+    assert out.loc[0, "n_in_window"] == 0

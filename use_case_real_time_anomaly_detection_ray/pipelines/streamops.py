@@ -169,6 +169,79 @@ def asof_join(
 
 
 # --------------------------------------------------------------------------
+# range (interval) join
+# --------------------------------------------------------------------------
+
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    lookback_us: int = _US_PER_HOUR,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key range join, aggregated: for each left row count the right
+    rows of the same ``user_id`` with ``ts`` in ``(left.ts - lookback_us,
+    left.ts]``. The classic "events in the preceding window" interval join.
+
+    Distributed shape: same tag-union + key-bucket co-location as
+    :func:`asof_join`; per bucket, ONE pair of ``np.searchsorted`` calls
+    over the (user-offset + ts) composite key counts every left row's
+    interval at once — no per-row or per-user Python loop, O(n log n) per
+    bucket. Only (user_id, ts, event_id) columns shuffle."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__side",
+                                   pa.array(np.full(t.num_rows, side,
+                                                    np.int8)))
+        return f
+
+    lt = left.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = _ts_us(g["ts"])
+        side = g["__side"].to_numpy()
+        # composite sort key: dense-user-index * span + ts-offset gives each
+        # user a disjoint key range, so ONE searchsorted pass serves every
+        # user. Interval lower bounds are clamped to the row's own user base
+        # so a lookback reaching past the user's earliest event can never
+        # bleed into the previous user's range.
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s, side_s = uid[order], ts[order], side[order]
+        uniq, dense = np.unique(uid_s, return_inverse=True)
+        ts0 = ts_s.min() if len(ts_s) else 0
+        span = (ts_s.max() - ts0 + 1) if len(ts_s) else 1
+        if len(uniq) and len(uniq) > (2 ** 62) // span:
+            raise OverflowError(
+                f"{len(uniq)} users × {span} μs span overflows the composite "
+                "key — raise num_buckets"
+            )
+        key_s = dense * span + (ts_s - ts0)
+        r_mask = side_s == 0
+        r_keys = key_s[r_mask]
+        l_mask = ~r_mask
+        l_keys = key_s[l_mask]
+        base_l = dense[l_mask] * span
+        # lower bound is EXCLUSIVE ((ts-L, ts], matching `v.ts > p.ts - L`):
+        # first key strictly greater than l_key - lookback
+        lo = np.searchsorted(r_keys,
+                             np.maximum(l_keys - lookback_us + 1, base_l),
+                             side="left")
+        hi = np.searchsorted(r_keys, l_keys, side="right")
+        eid = g["event_id"].to_numpy()[order][l_mask]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid_s[l_mask], pa.int64()),
+            "ts": pa.array(ts_s[l_mask], pa.int64()).cast(pa.timestamp("us")),
+            "n_in_window": pa.array(hi - lo, pa.int64()),
+        })
+
+    return bucketed_merge(both, ["user_id"], merge, num_buckets)
+
+
+# --------------------------------------------------------------------------
 # tumbling-window aggregate
 # --------------------------------------------------------------------------
 
@@ -303,6 +376,26 @@ def q_events_asof_join(sf_dir: str):
     return asof_join(left, right)
 
 
+def q_events_range_join(sf_dir: str):
+    """Views per user in the hour before each purchase (interval join)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pick(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["event_type"], kind)) \
+                    .drop_columns(["event_type"])
+        return f
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow",
+                          batch_size=None)
+    right = ev.map_batches(pick("view"), batch_format="pyarrow",
+                           batch_size=None)
+    return range_join_count(left, right)
+
+
 def q_events_hourly_windows(sf_dir: str):
     ev = read_table(sf_dir, "events",
                     columns=["ts", "event_type", "user_id", "value"])
@@ -318,6 +411,7 @@ def q_doc_sample_stratified(sf_dir: str):
 STREAM_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "events_hourly_windows": q_events_hourly_windows,
     "doc_sample_stratified": q_doc_sample_stratified,
 }
@@ -354,6 +448,14 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events
   ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
+SQL_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT COUNT(*) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts) AS n_in_window
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
 SQL_HOURLY = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
@@ -372,6 +474,7 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
 STREAM_ORACLE = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_asof_join": SQL_ASOF,
+    "events_range_join": SQL_RANGE_JOIN,
     "events_hourly_windows": SQL_HOURLY,
     "doc_sample_stratified": SQL_SAMPLE,
 }
