@@ -105,6 +105,9 @@ def run_bench() -> dict:
     from use_case_real_time_anomaly_detection_ray.pipelines.queries import (
         ANOMALY_QUERIES,
     )
+    from use_case_real_time_anomaly_detection_ray.pipelines.streamops import (
+        STREAM_QUERIES,
+    )
     from use_case_real_time_anomaly_detection_ray.pipelines.tqueries import TEXT_QUERIES
     from use_case_real_time_anomaly_detection_ray.pipelines.vqueries import (
         VALIDATION_QUERIES,
@@ -149,6 +152,10 @@ def run_bench() -> dict:
         "doc_lang_id": TEXT_QUERIES["doc_lang_id"],
         "ann_topk": TEXT_QUERIES["ann_topk"],
         "ann_ivf_topk": TEXT_QUERIES["ann_ivf_topk"],
+        "events_sessionize": STREAM_QUERIES["events_sessionize"],
+        "events_asof_join": STREAM_QUERIES["events_asof_join"],
+        "events_range_join": STREAM_QUERIES["events_range_join"],
+        "events_hourly_windows": STREAM_QUERIES["events_hourly_windows"],
     }
     import pandas as pd
 
