@@ -544,3 +544,22 @@ def test_expand_class_pairs_capped(ray_session):
     assert capped["b"].tolist() == [1000] * 60 + [1001] * 40
     assert capped["a"].tolist() == list(range(60)) + list(range(40))
     assert (capped["jaccard"] == 0.75).all()
+
+
+def test_vocab_topk_tie_boundary(ray_session):
+    """Ties at the k-th slot break by token ascending (the SQL's total
+    order), and per-bucket top-k never drops a global winner."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from use_case_real_time_anomaly_detection_ray.pipelines import textops
+
+    docs = ["b b b", "a a a", "d d c c", "e"]  # a:3 b:3 c:2 d:2 e:1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })).repartition(3)
+    out = textops.vocab_topk(ds, k=3)
+    assert list(out["token"]) == ["a", "b", "c"]
+    assert list(out["n"]) == [3, 3, 2]

@@ -142,15 +142,19 @@ def asof_join(
         uid = g["user_id"].to_numpy()
         ts = _ts_us(g["ts"])
         side = g["__side"].to_numpy()
-        right_ts = pd.Series(np.where(side == 0, ts.astype(np.float64),
-                                      np.nan))
+        # offsets (not absolute epoch-μs) go through the float ffill: float64
+        # is exact only below 2^53, which absolute μs timestamps cross in
+        # ~2255 — offsets within a bucket never will
+        ts0 = ts.min() if len(ts) else 0
+        right_ts = pd.Series(np.where(side == 0,
+                                      (ts - ts0).astype(np.float64), np.nan))
         # forward-fill within user runs (uid is sorted → run-id grouper)
         run = np.cumsum(np.r_[True, uid[1:] != uid[:-1]])
         ff = right_ts.groupby(run).ffill().to_numpy()
         is_left = side == 1
         matched = ff[is_left]
         miss = np.isnan(matched)
-        view_us = np.where(miss, 0, matched).astype(np.int64)
+        view_us = np.where(miss, 0, matched).astype(np.int64) + ts0
         out_ts = ts[is_left]
         eid = g["event_id"].to_numpy()[is_left]
         # nullable construction straight in Arrow (no object-dtype pass)

@@ -1178,6 +1178,50 @@ def text_stats(
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def vocab_topk(
+    ds: "ray.data.Dataset",
+    k: int = 100,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Corpus-level token vocabulary: the ``k`` most frequent whitespace
+    tokens (ties broken by token ascending — same total order as the SQL).
+
+    Exact distributed top-k: blocks shrink to per-token Counter partials,
+    each token's count completes inside its hash bucket, each bucket emits
+    only its local top-``k``, and the driver folds ``buckets × k`` rows —
+    never the vocabulary. The global top-k is provably inside the union of
+    per-bucket top-ks because every token is wholly in one bucket."""
+    from collections import Counter
+
+    from ..stages.reduce import to_arrow_single
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            c.update(T.words(txt))
+        toks = list(c.keys())
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[x] for x in toks], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("token", sort=False)["n"].sum().reset_index()
+        a = a.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({"token": pa.array(a["token"], pa.string()),
+                         "n": pa.array(a["n"].to_numpy(), pa.int64())})
+
+    merged = bucketed_merge(parts, ["token"], merge, num_buckets)
+    out = to_arrow_single(merged).to_pandas()
+    return (out.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(k)
+            .reset_index(drop=True))
+
+
 def lang_id_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Language-ID stage — stateless tasks (the marker tables are module
     constants, nothing to amortize)."""

@@ -371,6 +371,22 @@ WHERE floor(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def q_doc_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: 100 most frequent whitespace tokens (exact
+    distributed top-k — per-token-bucket counts, per-bucket top-k, tiny
+    global fold; see :func:`textops.vocab_topk`)."""
+    return textops.vocab_topk(_docs(sf_dir), k=100)
+
+
+SQL_DOC_VOCAB_TOPK = """
+SELECT tok AS token, COUNT(*) AS n FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents)
+GROUP BY tok ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
 def q_media_decode_features(sf_dir: str):
     """Multimodal decode through the driver surface: deterministic synthetic
     assets in REAL public formats (BMP images, PCM16 WAV audio, Y4M video,
@@ -408,6 +424,7 @@ TEXT_QUERIES = {
     # rows-only:
     "doc_simhash_dedup": q_doc_simhash_dedup,
     "doc_lang_id": q_doc_lang_id,
+    "doc_vocab_topk": q_doc_vocab_topk,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -421,6 +438,7 @@ TEXT_ORACLE = {
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
