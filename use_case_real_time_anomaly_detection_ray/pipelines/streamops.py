@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray.data
 
 from ..sources.readers import read_table
-from ..stages.reduce import bucketed_merge
+from ..stages.reduce import bucketed_merge, bucketed_merge_arrow
 
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -63,48 +63,73 @@ def sessionize(
 
     Distributed shape: hash-bucket by ``user_id`` (full per-user history in
     one task — the minimum any sessionizer needs), then a fully vectorized
-    in-bucket pass: one mergesort by (user, ts, event_id), run-boundary
-    detection with shifted compares, and a pandas groupby over the session
-    run ids. No per-user Python loop."""
+    all-Arrow/numpy in-bucket pass: one lexsort by (user, ts, event_id),
+    run-boundary detection with shifted compares, and ``np.add.reduceat``
+    over the session runs. No per-user Python loop, no pandas round-trip
+    of the shuffled rows."""
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    def merge(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
-        ts = _ts_us(g["ts"])
-        n = len(g)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = _cents(g["value"].to_numpy())
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            })
         new_user = np.empty(n, bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
-        gap_break = np.empty(n, bool)
-        gap_break[0] = True
-        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
-        new_s = new_user | gap_break
-        run = np.cumsum(new_s)                     # global session run id
+        new_s = new_user.copy()
+        new_s[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_s)              # session run starts
+        counts = np.diff(np.append(starts, n))
+        # 1-based session index per user: run number minus the run number at
+        # the user's first session
+        run = np.cumsum(new_s)
         user_starts = np.flatnonzero(new_user)
-        run_at_start = np.repeat(run[user_starts],
-                                 np.diff(np.append(user_starts, n)))
-        sid = run - run_at_start + 1               # 1-based per user
-        d = pd.DataFrame({
-            "user_id": uid, "session_id": sid, "ts_us": ts,
-            "cents": _cents(g["value"].to_numpy()),
-        })
-        a = (d.groupby(["user_id", "session_id"], sort=True)
-             .agg(start=("ts_us", "min"), end=("ts_us", "max"),
-                  n_events=("ts_us", "size"), cents=("cents", "sum"))
-             .reset_index())
+        user_counts = np.diff(np.append(user_starts, n))
+        run_at_user_start = np.repeat(run[user_starts], user_counts)
+        sid_rows = run - run_at_user_start + 1
         return pa.table({
-            "user_id": pa.array(a["user_id"].to_numpy(), pa.int64()),
-            "session_id": pa.array(a["session_id"].to_numpy(), pa.int64()),
-            "session_start": pa.array(a["start"].to_numpy(), pa.int64())
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(sid_rows[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64())
                                .cast(pa.timestamp("us")),
-            "session_end": pa.array(a["end"].to_numpy(), pa.int64())
+            # within a session ts is sorted: the end is the run's last row
+            "session_end": pa.array(ts[starts + counts - 1], pa.int64())
                              .cast(pa.timestamp("us")),
-            "n_events": pa.array(a["n_events"].to_numpy(), pa.int64()),
-            "sum_value": pa.array(a["cents"].to_numpy() / 100.0,
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(cents, starts) / 100.0,
                                   pa.float64()),
         })
 
-    return bucketed_merge(events, ["user_id"], merge, num_buckets)
+    return bucketed_merge_arrow(events, ["user_id"], merge, num_buckets)
+
+
+def _tag_side(side: int):
+    """Stamp the side flag and normalize the schema for the Arrow union:
+    a right side without ``event_id`` gets a constant -1 column (the value
+    is never read for right rows, but heterogeneous-schema unions would
+    otherwise null-promote the int column)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if "event_id" not in t.column_names:
+            t = t.append_column(
+                "event_id", pa.array(np.full(t.num_rows, -1, np.int64)))
+        t = t.select(["event_id", "user_id", "ts"])
+        return t.append_column(
+            "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+    return f
 
 
 # --------------------------------------------------------------------------
@@ -121,55 +146,59 @@ def asof_join(
     keep NULLs (DuckDB ``ASOF LEFT JOIN`` semantics).
 
     Distributed shape: tag the two sides, union, hash-bucket by key, then a
-    single vectorized merge-scan per bucket — sort by (user, ts, side) with
-    the right side first at equal ts (``<=``), forward-fill the last right
-    timestamp within each user run, and emit the left rows. O(n log n) per
-    bucket, no per-key loop; only the pruned key/ts columns shuffle."""
+    single vectorized all-Arrow/numpy merge-scan per bucket — lexsort by
+    (user, ts, side) with the right side first at equal ts (``<=``), carry
+    the last right-row index forward with a masked ``maximum.accumulate``
+    (reset at user boundaries by comparing against the row's own user-run
+    start), and emit the left rows. O(n log n) per bucket, no per-key loop,
+    no pandas round-trip; only the pruned key/ts columns shuffle."""
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column("__side",
-                                   pa.array(np.full(t.num_rows, side,
-                                                    np.int8)))
-        return f
-
-    lt = left.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
-    rt = right.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    lt = left.map_batches(_tag_side(1), batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(_tag_side(0), batch_format="pyarrow",
+                           batch_size=None)
     both = lt.union(rt)
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "__side"], kind="mergesort")
+    def merge(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
-        ts = _ts_us(g["ts"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         side = g["__side"].to_numpy()
-        # offsets (not absolute epoch-μs) go through the float ffill: float64
-        # is exact only below 2^53, which absolute μs timestamps cross in
-        # ~2255 — offsets within a bucket never will
-        ts0 = ts.min() if len(ts) else 0
-        right_ts = pd.Series(np.where(side == 0,
-                                      (ts - ts0).astype(np.float64), np.nan))
-        # forward-fill within user runs (uid is sorted → run-id grouper)
-        run = np.cumsum(np.r_[True, uid[1:] != uid[:-1]])
-        ff = right_ts.groupby(run).ffill().to_numpy()
-        is_left = side == 1
-        matched = ff[is_left]
-        miss = np.isnan(matched)
-        view_us = np.where(miss, 0, matched).astype(np.int64) + ts0
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((side, ts, uid))
+        uid, ts, side, eid = uid[order], ts[order], side[order], eid[order]
+        n = len(uid)
+        is_right = side == 0
+        # index of the latest right row at-or-before each position; entries
+        # pointing before the row's own user run are cross-user garbage
+        idx = np.where(is_right, np.arange(n), -1)
+        acc = np.maximum.accumulate(idx) if n else idx
+        if n:
+            new_user = np.empty(n, bool)
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+            user_starts = np.flatnonzero(new_user)
+            user_counts = np.diff(np.append(user_starts, n))
+            run_start_row = np.repeat(user_starts, user_counts)
+        else:
+            run_start_row = idx
+        is_left = ~is_right
+        acc_l = acc[is_left]
+        miss = acc_l < run_start_row[is_left]
+        view_us = ts[np.where(miss, 0, acc_l)]
         out_ts = ts[is_left]
-        eid = g["event_id"].to_numpy()[is_left]
         # nullable construction straight in Arrow (no object-dtype pass)
         view_arr = pa.array(view_us, pa.int64(),
                             mask=miss).cast(pa.timestamp("us"))
         gap_arr = pa.array(out_ts - view_us, pa.int64(), mask=miss)
         return pa.table({
-            "event_id": pa.array(eid, pa.int64()),
+            "event_id": pa.array(eid[is_left], pa.int64()),
             "user_id": pa.array(uid[is_left], pa.int64()),
             "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
             "matched_ts": view_arr,
             "gap_us": gap_arr,
         })
 
-    return bucketed_merge(both, ["user_id"], merge, num_buckets)
+    return bucketed_merge_arrow(both, ["user_id"], merge, num_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -192,20 +221,15 @@ def range_join_count(
     interval at once — no per-row or per-user Python loop, O(n log n) per
     bucket. Only (user_id, ts, event_id) columns shuffle."""
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column("__side",
-                                   pa.array(np.full(t.num_rows, side,
-                                                    np.int8)))
-        return f
-
-    lt = left.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
-    rt = right.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    lt = left.map_batches(_tag_side(1), batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(_tag_side(0), batch_format="pyarrow",
+                           batch_size=None)
     both = lt.union(rt)
 
-    def merge(g: pd.DataFrame) -> pa.Table:
+    def merge(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
-        ts = _ts_us(g["ts"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         side = g["__side"].to_numpy()
         # composite sort key: dense-user-index * span + ts-offset gives each
         # user a disjoint key range, so ONE searchsorted pass serves every
@@ -242,7 +266,7 @@ def range_join_count(
             "n_in_window": pa.array(hi - lo, pa.int64()),
         })
 
-    return bucketed_merge(both, ["user_id"], merge, num_buckets)
+    return bucketed_merge_arrow(both, ["user_id"], merge, num_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -257,59 +281,63 @@ def tumbling_agg(
     """Per (tumbling time window, event_type): event count, DISTINCT user
     count, min/max value, exact-cents value sum.
 
-    Distributed shape (the scalable count-distinct composition): blocks
-    pre-aggregate to per-(window, type, user) partials inside
-    ``map_batches`` — the only rows that ever shuffle — then a first bucket
-    merge collapses duplicate (window, type, user) partials across blocks,
-    and a second tiny merge folds users into the per-(window, type) answer.
-    Distinct-user state is never an unbounded set in one task."""
+    Distributed shape: blocks pre-aggregate to per-(window, type, user)
+    partials with Arrow ``group_by`` (SIMD hash — a pandas groupby here was
+    the dominant cost when key cardinality approaches row count and the
+    partial barely shrinks), then ONE bucket shuffle keyed on
+    (window, type): every row of a (window, type) group lands in one task,
+    which finishes the distinct-user fold and the final aggregate locally.
+    Partitioning assumption (documented): a single (window, type)'s
+    DISTINCT-USER partial set fits one task — rows shuffled per window are
+    bounded by distinct users in it, not events. For corpora where even
+    that is too hot, fall back to the two-level (window, type, user) bucket
+    shape at the cost of a second shuffle."""
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        win = _ts_us(df["ts"]) // window_us * window_us
-        d = pd.DataFrame({
-            "win_us": win, "event_type": df["event_type"].to_numpy(),
-            "user_id": df["user_id"].to_numpy(),
-            "cents": _cents(df["value"].to_numpy()),
-            "mn": df["value"].to_numpy(), "mx": df["value"].to_numpy(),
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = ts // window_us * window_us
+        tt = pa.table({
+            "win_us": pa.array(win, pa.int64()),
+            "event_type": t["event_type"],
+            "user_id": t["user_id"],
+            "cents": pa.array(_cents(t["value"].to_numpy()), pa.int64()),
+            "value": t["value"],
         })
-        a = (d.groupby(["win_us", "event_type", "user_id"], sort=False)
-             .agg(n=("cents", "size"), cents=("cents", "sum"),
-                  mn=("mn", "min"), mx=("mx", "max")).reset_index())
-        return pa.Table.from_pandas(
-            a, preserve_index=False).replace_schema_metadata(None)
+        a = tt.group_by(["win_us", "event_type", "user_id"],
+                        use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum"),
+             ("value", "min"), ("value", "max")])
+        return pa.table({
+            "win_us": a["win_us"], "event_type": a["event_type"],
+            "user_id": a["user_id"], "n": a["cents_count"],
+            "cents": a["cents_sum"], "mn": a["value_min"],
+            "mx": a["value_max"],
+        })
 
-    partials = events.map_batches(partial, batch_format="pandas",
+    partials = events.map_batches(partial, batch_format="pyarrow",
                                   batch_size=None)
 
-    def merge_user(g: pd.DataFrame) -> pa.Table:
-        a = (g.groupby(["win_us", "event_type", "user_id"], sort=False)
-             .agg(n=("n", "sum"), cents=("cents", "sum"),
-                  mn=("mn", "min"), mx=("mx", "max")).reset_index())
-        return pa.Table.from_pandas(
-            a, preserve_index=False).replace_schema_metadata(None)
-
-    per_user = bucketed_merge(partials, ["win_us", "event_type", "user_id"],
-                              merge_user, num_buckets)
-
-    def merge_window(g: pd.DataFrame) -> pa.Table:
-        a = (g.groupby(["win_us", "event_type"], sort=True)
-             .agg(n_events=("n", "sum"), n_users=("user_id", "size"),
-                  mn=("mn", "min"), mx=("mx", "max"),
-                  cents=("cents", "sum")).reset_index())
+    def merge(g: pa.Table) -> pa.Table:
+        u = g.group_by(["win_us", "event_type", "user_id"],
+                       use_threads=False).aggregate(
+            [("n", "sum"), ("cents", "sum"), ("mn", "min"), ("mx", "max")])
+        f = u.group_by(["win_us", "event_type"], use_threads=False).aggregate(
+            [("n_sum", "sum"), ("user_id", "count"),
+             ("cents_sum", "sum"), ("mn_min", "min"), ("mx_max", "max")])
         return pa.table({
-            "window_start": pa.array(a["win_us"].to_numpy(), pa.int64())
-                              .cast(pa.timestamp("us")),
-            "event_type": pa.array(a["event_type"], pa.string()),
-            "n_events": pa.array(a["n_events"].to_numpy(), pa.int64()),
-            "n_users": pa.array(a["n_users"].to_numpy(), pa.int64()),
-            "min_value": pa.array(a["mn"].to_numpy(), pa.float64()),
-            "max_value": pa.array(a["mx"].to_numpy(), pa.float64()),
-            "sum_value": pa.array(a["cents"].to_numpy() / 100.0,
-                                  pa.float64()),
+            "window_start": f["win_us"].cast(pa.timestamp("us")),
+            "event_type": f["event_type"],
+            "n_events": f["n_sum_sum"].cast(pa.int64()),
+            "n_users": f["user_id_count"].cast(pa.int64()),
+            "min_value": f["mn_min_min"],
+            "max_value": f["mx_max_max"],
+            "sum_value": pa.array(
+                f["cents_sum_sum"].to_numpy(zero_copy_only=False) / 100.0,
+                pa.float64()),
         })
 
-    return bucketed_merge(per_user, ["win_us", "event_type"], merge_window,
-                          num_buckets)
+    return bucketed_merge_arrow(partials, ["win_us", "event_type"], merge,
+                                num_buckets)
 
 
 # --------------------------------------------------------------------------

@@ -97,6 +97,34 @@ def bucketed_merge(
     return bucketed.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
 
 
+def bucketed_merge_arrow(
+    partials: "ray.data.Dataset",
+    keys: Sequence[str],
+    merge_fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """All-Arrow :func:`bucketed_merge`: the shuffled rows never convert to
+    pandas — ``merge_fn`` receives the bucket as a ``pa.Table`` and returns
+    one. Use for large row-level shuffles where the pandas round-trip is
+    the dominant cost (measured ~4.5× on 30 M int-keyed partials,
+    BENCH/BASELINE.md); the pandas variant stays for merges that want
+    DataFrame ergonomics on modest bucket sizes."""
+    keys = list(keys)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _hash_keys_arrow(t, keys, num_buckets)
+        return t.replace_schema_metadata(None).append_column(
+            _BUCKET, pa.array(b, pa.int32()))
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    batch_size=None)
+
+    def merge(g: pa.Table) -> pa.Table:
+        return merge_fn(g.drop_columns([_BUCKET]))
+
+    return bucketed.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
+
+
 def _sort_last_per_key(df: pd.DataFrame, keys: Sequence[str], order: Sequence[str],
                        descending: Sequence[bool]) -> pd.DataFrame:
     """Vectorized 'best row per key': sort by (keys, order) and keep the last
