@@ -113,3 +113,67 @@ def test_lag_shift_matches_pandas(df):
 @pytest.fixture(autouse=True)
 def _session(ray_session):
     yield
+
+
+@st.composite
+def event_frames(draw):
+    n = draw(st.integers(1, 150))
+    rng = np.random.default_rng(draw(st.integers(0, 2**16)))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, draw(st.integers(1, 8)), n),
+        # small ts range forces duplicate timestamps and boundary gaps
+        "ts_us": rng.integers(0, 40, n) * 7,
+        "value": rng.integers(0, 500, n) / 100.0,
+    })
+
+
+def _sessions_reference(df, gap):
+    """Brute-force per-user loop — the semantics the distributed op must match."""
+    rows = []
+    for uid, g in df.sort_values(["user_id", "ts_us", "event_id"]).groupby("user_id"):
+        sid, start, last, cnt, cents = 0, None, None, 0, 0
+        for _, r in g.iterrows():
+            if last is None or r.ts_us - last > gap:
+                if start is not None:
+                    rows.append((uid, sid, start, last, cnt, cents / 100.0))
+                sid += 1
+                start, cnt, cents = r.ts_us, 0, 0
+            last = r.ts_us
+            cnt += 1
+            cents += int(np.floor(r.value * 100 + 0.5))
+        rows.append((uid, sid, start, last, cnt, cents / 100.0))
+    out = pd.DataFrame(rows, columns=["user_id", "session_id", "start_us",
+                                      "end_us", "n_events", "sum_value"])
+    return out.astype({"user_id": "int64", "session_id": "int64",
+                       "start_us": "int64", "end_us": "int64",
+                       "n_events": "int64", "sum_value": "float64"})
+
+
+@settings(**SETTINGS)
+@given(event_frames(), st.integers(1, 60))
+def test_sessionize_matches_reference(ray_session, df, gap):
+    import pyarrow as pa
+
+    from use_case_real_time_anomaly_detection_ray.pipelines.streamops import (
+        sessionize,
+    )
+
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "ts": pa.array(df["ts_us"], pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(df["value"], pa.float64()),
+    })
+    cut = max(1, len(df) // 3)
+    ds = ray.data.from_arrow([t.slice(0, cut), t.slice(cut)])
+    got = (sessionize(ds, gap_us=gap).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    got["start_us"] = got.pop("session_start").astype("datetime64[us]").astype("int64")
+    got["end_us"] = got.pop("session_end").astype("datetime64[us]").astype("int64")
+    want = (_sessions_reference(df, gap)
+            .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_id", "start_us", "end_us", "n_events",
+             "sum_value"]].astype({"n_events": "int64"}),
+        want.astype({"n_events": "int64"}))
