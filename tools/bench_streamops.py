@@ -1,0 +1,110 @@
+"""At-scale measurement of the stream operators (sessionize / range join /
+tumbling agg) over a deterministic synthetic events corpus. Results recorded
+in BENCH/BASELINE.md ("Event-stream operators at scale").
+
+Usage (fresh process per parallelism level, like bench.py --scaling)::
+
+    EV_DIR=/tmp/rtad_events_40m EV_PARTS=64 python tools/bench_streamops.py gen
+    EV_DIR=/tmp/rtad_events_40m EV_PARTS=64 EV_BLOCKS=128 \
+        python tools/bench_streamops.py run <num_cpus> [op]
+"""
+import json
+import os
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+os.environ.setdefault("MIMALLOC_ALLOW_LARGE_OS_PAGES", "1")
+os.environ.setdefault("MIMALLOC_PURGE_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_RESET_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_ARENA_EAGER_COMMIT", "1")
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DIR = os.environ.get("EV_DIR", "/tmp/rtad_events_10m")
+PARTS, ROWS = int(os.environ.get("EV_PARTS", "16")), 625_000
+N_USERS = 100_000
+
+
+def gen():
+    os.makedirs(DIR, exist_ok=True)
+    if os.path.exists(os.path.join(DIR, "_COMPLETE")):
+        print("cached")
+        return
+    base = 1_700_000_000_000_000  # epoch us
+    types = np.array(["click", "view", "purchase", "signup", "error"])
+    for p in range(PARTS):
+        rng = np.random.default_rng(1234 + p)
+        n = ROWS
+        t = pa.table({
+            "event_id": pa.array(np.arange(p * n, (p + 1) * n), pa.int64()),
+            "ts": pa.array(base + rng.integers(0, 30 * 86400 * 1_000_000,
+                                               n), pa.int64()
+                           ).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, N_USERS, n), pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 5, n)], pa.string()),
+            "value": pa.array(np.floor(rng.uniform(0, 100, n) * 100 + 0.5)
+                              / 100.0, pa.float64()),
+        })
+        pq.write_table(t, os.path.join(DIR, f"events_{p:02d}.parquet"))
+    open(os.path.join(DIR, "_COMPLETE"), "w").write("ok")
+    print("generated", PARTS * ROWS)
+
+
+def run(num_cpus: int, only: str | None):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import ray.data as rd
+
+    from use_case_real_time_anomaly_detection_ray.pipelines import streamops as SO
+
+    def read(cols):
+        return rd.read_parquet(DIR, columns=cols, override_num_blocks=int(os.environ.get("EV_BLOCKS", "64")))
+
+    def consume(ds):
+        # stream to a count, never a driver collect
+        return ds.count()
+
+    ops = {
+        "sessionize": lambda: consume(SO.sessionize(
+            read(["user_id", "ts", "event_id", "value"]))),
+        "range_join": lambda: consume(SO.range_join_count(
+            read(["event_id", "user_id", "ts", "event_type"]).map_batches(
+                lambda t: (lambda pc: t.filter(
+                    pc.equal(t["event_type"], "purchase")).drop_columns(
+                    ["event_type"]))(__import__("pyarrow.compute",
+                                                fromlist=["compute"])),
+                batch_format="pyarrow", batch_size=None),
+            read(["event_id", "user_id", "ts", "event_type"]).map_batches(
+                lambda t: (lambda pc: t.filter(
+                    pc.equal(t["event_type"], "view")).drop_columns(
+                    ["event_type"]))(__import__("pyarrow.compute",
+                                                fromlist=["compute"])),
+                batch_format="pyarrow", batch_size=None))),
+        "tumbling": lambda: consume(SO.tumbling_agg(
+            read(["ts", "event_type", "user_id", "value"]))),
+    }
+    out = {"num_cpus": num_cpus, "rows": PARTS * ROWS}
+    for name, fn in ops.items():
+        if only and name != only:
+            continue
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        out[name] = {"sec": round(dt, 2), "out_rows": n,
+                     "events_per_sec": round(PARTS * ROWS / dt)}
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "gen":
+        gen()
+    else:
+        run(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
