@@ -158,3 +158,16 @@ def test_range_join_zero_matches(ray_session):
         ["user_id", "ts"])
     out = SO.range_join_count(left, right).to_pandas()
     assert out.loc[0, "n_in_window"] == 0
+
+
+def test_cents_rejects_nulls(ray_session):
+    """A null `value` must fail loudly, not corrupt an integer-cents sum
+    (SQL SUM would silently skip the NULL — divergence either way)."""
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array([1.0, None], pa.float64()),
+    })
+    with pytest.raises(Exception, match="null `value`"):
+        SO.sessionize(ray.data.from_arrow(t)).materialize()

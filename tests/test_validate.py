@@ -319,3 +319,56 @@ def test_stats_and_gates_scale_paths_equal(corpus, tmp_path_factory,
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(base.verdicts.reset_index(drop=True),
                                   forced.verdicts.reset_index(drop=True))
+
+
+def test_distributed_stats_merge_drops_null_keys_like_pandas(ray_session):
+    """The scale-path merge must reproduce pandas groupby's dropna=True: a
+    null-keyed partial row (corrupt repo/lang) is dropped on BOTH wirings,
+    not kept as an extra stats row by Arrow group_by."""
+    import pyarrow as pa
+
+    import ray.data
+
+    parts = pa.table({
+        "part": pa.array([0, 0, 0], pa.int64()),
+        "repo": pa.array(["r1", None, "r1"], pa.string()),
+        "lang": pa.array(["py", "py", None], pa.string()),
+        "n": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        "s": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "s2": pa.array([100.0, 400.0, 900.0], pa.float64()),
+        "mn": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "mx": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "n_all": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        "n_null": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    })
+    stats, lang_stats, null_stats = validate._merge_light_stats_distributed(
+        ray.data.from_arrow(parts))
+    # pandas dropna semantics: the null-repo row vanishes from stats, the
+    # null-lang row from lang_stats; the part-keyed null fold keeps all rows
+    assert stats["repo"].tolist() == ["r1"] and stats["n"].tolist() == [2.0]
+    assert lang_stats["lang"].tolist() == ["py"]
+    assert lang_stats["n"].tolist() == [2.0]
+    assert null_stats["n"].tolist() == [3.0]
+
+
+def test_global_violations_tmp_is_cleared_before_publish(corpus, tmp_path_factory,
+                                                         ray_session):
+    """A crashed prior run's stale parquet blocks in violations/global.tmp
+    must not be published alongside a fresh run's output."""
+    import pyarrow.parquet as pq
+
+    cdir, _ = corpus
+    out = str(tmp_path_factory.mktemp("staletmp") / "o")
+    tmp = os.path.join(out, "violations", "global.tmp")
+    os.makedirs(tmp)
+    stale = validate._viol_table({
+        c: [0] if c == "part" else ([0.0] if c == "value" else
+                                    (["STALE"] if c == "check" else [""]))
+        for c in validate.VIOLATION_COLS})
+    pq.write_table(stale, os.path.join(tmp, "stale_block.parquet"))
+    validate.run(cdir, out, CFG)
+    gdir = os.path.join(out, "violations", "global")
+    files = [f for f in os.listdir(gdir) if f.endswith(".parquet")]
+    got = pd.concat([pq.read_table(os.path.join(gdir, f)).to_pandas()
+                     for f in files], ignore_index=True)
+    assert not (got["check"] == "STALE").any()

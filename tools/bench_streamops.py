@@ -75,18 +75,10 @@ def run(num_cpus: int, only: str | None):
         "sessionize": lambda: consume(SO.sessionize(
             read(["user_id", "ts", "event_id", "value"]))),
         "range_join": lambda: consume(SO.range_join_count(
-            read(["event_id", "user_id", "ts", "event_type"]).map_batches(
-                lambda t: (lambda pc: t.filter(
-                    pc.equal(t["event_type"], "purchase")).drop_columns(
-                    ["event_type"]))(__import__("pyarrow.compute",
-                                                fromlist=["compute"])),
-                batch_format="pyarrow", batch_size=None),
-            read(["event_id", "user_id", "ts", "event_type"]).map_batches(
-                lambda t: (lambda pc: t.filter(
-                    pc.equal(t["event_type"], "view")).drop_columns(
-                    ["event_type"]))(__import__("pyarrow.compute",
-                                                fromlist=["compute"])),
-                batch_format="pyarrow", batch_size=None))),
+            SO._pick_type(read(["event_id", "user_id", "ts", "event_type"]),
+                          "purchase"),
+            SO._pick_type(read(["event_id", "user_id", "ts", "event_type"]),
+                          "view"))),
         "tumbling": lambda: consume(SO.tumbling_agg(
             read(["ts", "event_type", "user_id", "value"]))),
     }

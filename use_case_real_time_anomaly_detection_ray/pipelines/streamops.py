@@ -11,9 +11,9 @@ Partitioning assumptions (documented per the custom-operator contract):
   they hash-bucket by ``user_id`` and sort within the bucket. The shuffle
   ships only the pruned working columns, never the full row. A pathological
   single hot user lands in one task — the same bound any per-key window has.
-- ``tumbling_agg`` is two pre-aggregated bucket merges (the exact
-  count-distinct shape): blocks shrink to per-(window, type, user) partials
-  before anything shuffles.
+- ``tumbling_agg`` pre-aggregates blocks to per-(window, type, user)
+  partials with Arrow ``group_by``, then ONE shuffle keyed on
+  (window, type) finishes each group's exact distinct-user fold locally.
 - ``hash_sample`` is stateless map-only — embarrassingly parallel at any
   scale.
 
@@ -27,26 +27,42 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..sources.readers import read_table
-from ..stages.reduce import bucketed_merge, bucketed_merge_arrow
+from ..stages.reduce import bucketed_merge_arrow
 
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
-def _ts_us(s: pd.Series) -> np.ndarray:
-    """Timestamp column → int64 μs (never through pandas ns arithmetic)."""
-    return s.to_numpy().astype("datetime64[us]").astype(np.int64)
-
-
 def _cents(v: np.ndarray) -> np.ndarray:
-    """Shared half-up 2-decimal integerization (same formula as the SQL)."""
+    """Shared half-up 2-decimal integerization (same formula as the SQL).
+    Nulls fail LOUDLY: ``floor(NaN)`` casts to INT64_MIN garbage that would
+    silently corrupt a sum, while the paired SQL ``SUM`` skips NULLs — a
+    null `value` is a data-contract violation, not a row to invent."""
+    if np.isnan(v).any():
+        raise ValueError(
+            f"{int(np.isnan(v).sum())} null `value` rows — the value column "
+            "must be non-null (SQL SUM would skip them; an integer-cents sum "
+            "cannot represent that silently)"
+        )
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _pick_type(events: "ray.data.Dataset", kind: str) -> "ray.data.Dataset":
+    """Filter to one ``event_type`` and drop the column — filter+project
+    fused in ONE stage (Ray skips UDFs on empty blocks; a separate project
+    stage would lose the schema when everything filters out)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], kind)) \
+                .drop_columns(["event_type"])
+
+    return events.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 # --------------------------------------------------------------------------
@@ -392,40 +408,15 @@ def q_events_sessionize(sf_dir: str):
 def q_events_asof_join(sf_dir: str):
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type"])
-
-    def pick(kind: str):
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.filter(pc.equal(t["event_type"], kind)) \
-                    .drop_columns(["event_type"])
-        return f
-
-    left = ev.map_batches(pick("purchase"), batch_format="pyarrow",
-                          batch_size=None)
-    right = ev.map_batches(pick("view"), batch_format="pyarrow",
-                           batch_size=None)
-    return asof_join(left, right)
+    return asof_join(_pick_type(ev, "purchase"), _pick_type(ev, "view"))
 
 
 def q_events_range_join(sf_dir: str):
     """Views per user in the hour before each purchase (interval join)."""
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type"])
-
-    def pick(kind: str):
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.filter(pc.equal(t["event_type"], kind)) \
-                    .drop_columns(["event_type"])
-        return f
-
-    left = ev.map_batches(pick("purchase"), batch_format="pyarrow",
-                          batch_size=None)
-    right = ev.map_batches(pick("view"), batch_format="pyarrow",
-                           batch_size=None)
-    return range_join_count(left, right)
+    return range_join_count(_pick_type(ev, "purchase"),
+                            _pick_type(ev, "view"))
 
 
 def q_events_hourly_windows(sf_dir: str):

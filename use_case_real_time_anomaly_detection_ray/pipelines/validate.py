@@ -417,26 +417,27 @@ def _merge_light_stats_distributed(
     receives only the three MERGED frames (O(parts × repos / langs) rows,
     exactly what the driver path produces). Bitwise-equal to the driver
     merge regardless of partial order: every sum is over integer-valued
-    float64 (content lengths and counts), exact under reassociation.
+    float64 (content lengths and counts), exact under reassociation, and
+    null-keyed partial rows are dropped to match pandas ``groupby``'s
+    ``dropna=True`` on the driver path (Arrow ``group_by`` would otherwise
+    keep a null-key group the driver merge silently drops).
 
     The ``sha_xor`` lineage fold groups by ``part`` alone, so each part's
     rows land wholly in one bucket and the in-bucket XOR fold is complete
     (XOR is associative/commutative)."""
-    from ..stages.reduce import _hash_keys_arrow
+    from ..stages.reduce import bucketed_merge_arrow
 
     has_sha = "sha_xor" in parts_ds.schema().names
 
     def grouped(keys: list[str], merge) -> pd.DataFrame:
-        def add_bucket(t: pa.Table) -> pa.Table:
-            b = _hash_keys_arrow(t, keys, 64)
-            return t.append_column("__bucket", pa.array(b, pa.int32()))
+        def merge_nonnull(g: pa.Table) -> pa.Table:
+            mask = None
+            for k in keys:
+                v = pc.is_valid(g[k])
+                mask = v if mask is None else pc.and_(mask, v)
+            return merge(g.filter(mask))
 
-        ds = parts_ds.map_batches(add_bucket, batch_format="pyarrow",
-                                  batch_size=None)
-        out = ds.groupby("__bucket").map_groups(
-            lambda g: merge(g.drop_columns(["__bucket"])),
-            batch_format="pyarrow",
-        )
+        out = bucketed_merge_arrow(parts_ds, keys, merge_nonnull)
         return to_arrow_single(out).to_pandas()
 
     def merge_stats(g: pa.Table) -> pa.Table:
@@ -1328,6 +1329,12 @@ def run(
     # remains the (by-design small) driver surface.
     gdir = os.path.join(out_dir, "violations", "global")
     tmp = gdir + ".tmp"
+    # a crashed prior run leaves uuid-named parquet blocks in the .tmp dir;
+    # write_parquet APPENDS new uuid files next to them, so the publish
+    # below would ship stale rows — start from an empty staging dir
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pieces = [gates_ds] + [
         ray.data.from_arrow(t)
