@@ -119,6 +119,118 @@ def test_y4m_odd_dims_rejected_for_420():
         C.encode_y4m(np.zeros((1, 3, 4), np.uint8), colorspace="420")
 
 
+# --------------------------------------------------------------------- PNG
+
+@pytest.mark.parametrize("h,w", [(1, 1), (13, 7), (32, 33), (3, 253)])
+def test_png_gray_roundtrip_adaptive(rng, h, w):
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    payload = C.encode_png(img)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (C.decode_png(payload) == img).all()
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_every_filter_type_roundtrips(rng, ftype):
+    """Each of the five scanline filters forced on every row of both a gray
+    and an RGB image — exercises every unfilter branch, byte-exact."""
+    gray = rng.integers(0, 256, (9, 14), dtype=np.uint8)
+    assert (C.decode_png(C.encode_png(gray, filters=ftype)) == gray).all()
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert (C.decode_png(C.encode_png(rgb, filters=ftype))
+            == C._rgb_to_gray(rgb)).all()
+
+
+def test_png_per_row_filter_mix_roundtrips(rng):
+    img = rng.integers(0, 256, (10, 8), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    assert (C.decode_png(C.encode_png(img, filters=filters)) == img).all()
+
+
+def test_png_adaptive_picks_multiple_filters():
+    """A smooth gradient must NOT encode as all-None scanlines — the
+    adaptive heuristic should reach for the predictive filters."""
+    img = (np.arange(32)[:, None] * 7 + np.arange(48)[None, :] * 3) % 256
+    payload = C.encode_png(img.astype(np.uint8))
+    import zlib
+
+    at = payload.index(b"IDAT")
+    (length,) = struct.unpack_from(">I", payload, at - 4)
+    raw = zlib.decompress(payload[at + 4:at + 4 + length])
+    chosen = set(np.frombuffer(raw, np.uint8).reshape(32, 49)[:, 0].tolist())
+    assert len(chosen) > 1
+    assert (C.decode_png(payload) == img).all()
+
+
+def test_png_rgb_matches_bmp_luma(rng):
+    """Color → gray reduction is the SAME integer Rec.601 rounding as the
+    BMP decoder, so one image encoded both ways decodes identically."""
+    h, w = 7, 11
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    png_gray = C.decode_png(C.encode_png(rgb))
+    # hand-build a 24-bit BMP of the same pixels (BMP stores BGR bottom-up)
+    row_size = (3 * w + 3) & ~3
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII", b"BM", 54 + rows.size, 0, 0, 54,
+        40, w, h, 1, 24, 0, rows.size, 2835, 2835, 0, 0)
+    assert (png_gray == C.decode_bmp(header + rows.tobytes())).all()
+
+
+def test_png_palette_and_alpha_color_types(rng):
+    """Hand-built color-type 3 (palette), 4 (gray+alpha) and 6 (RGBA)
+    streams decode per spec."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def build(w, h, color_type, pixel_bytes, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        stride = w * {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        scan = b"".join(b"\x00" + pixel_bytes[y * stride:(y + 1) * stride]
+                        for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+    # palette: 4 entries, indices identity-mapped to known luma
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                   np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    out = C.decode_png(build(2, 2, 3, idx.tobytes(),
+                             extra=chunk(b"PLTE", pal.tobytes())))
+    p32 = pal.astype(np.uint32)
+    want = ((299 * p32[:, 0] + 587 * p32[:, 1] + 114 * p32[:, 2] + 500)
+            // 1000).astype(np.uint8)[idx]
+    assert (out == want).all()
+
+    # gray+alpha keeps the gray sample, ignores alpha
+    ga = np.array([[50, 0], [200, 255]], np.uint8)  # one row, two pixels
+    assert (C.decode_png(build(2, 1, 4, ga.tobytes()))
+            == np.array([[50, 200]])).all()
+
+    # RGBA reduces RGB via luma, ignores alpha
+    rgba = np.array([[100, 150, 200, 7]], np.uint8)
+    want = (299 * 100 + 587 * 150 + 114 * 200 + 500) // 1000
+    assert C.decode_png(build(1, 1, 6, rgba.tobytes())).item() == want
+
+
+def test_png_crc_and_unsupported_rejected(rng):
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    good = bytearray(C.encode_png(img))
+    good[20] ^= 0xFF  # corrupt one IHDR byte; stored CRC no longer matches
+    with pytest.raises(ValueError, match="CRC"):
+        C.decode_png(bytes(good))
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    p16 = (b"\x89PNG\r\n\x1a\n" + C._png_chunk(b"IHDR", ihdr16))
+    with pytest.raises(ValueError, match="16-bit"):
+        C.decode_png(p16)
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlaced"):
+        C.decode_png(b"\x89PNG\r\n\x1a\n" + C._png_chunk(b"IHDR", ihdr_i))
+
+
 # ----------------------------------------------------------------- sniffing
 
 def test_sniff_formats(rng):

@@ -45,23 +45,26 @@ def test_frame_sampling(media_ds):
 
 
 def test_compressed_codecs_are_explicit_stubs():
-    """Real decode works for BMP/PGM/WAV/Y4M; compressed payloads raise an
-    explicit NotImplementedError naming the sniffed format."""
+    """Real decode works for BMP/PGM/PNG/WAV/Y4M; payloads in formats that
+    need external codec libraries (JPEG here) raise an explicit
+    NotImplementedError naming the sniffed format."""
     stage = MM.DecodeStage(decoder="real")
-    png_table = MM.synth_media_table(n=1, fmt="bmp").set_column(
+    jpeg_table = MM.synth_media_table(n=1, fmt="bmp").set_column(
         6, "payload",
-        __import__("pyarrow").array([b"\x89PNG\r\n\x1a\n....."],
+        __import__("pyarrow").array([b"\xff\xd8\xff\xe0JFIF....."],
                                     __import__("pyarrow").large_binary()))
-    with pytest.raises(NotImplementedError, match="png"):
-        stage(png_table)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        stage(jpeg_table)
     with pytest.raises(ValueError):
         MM.DecodeStage(decoder="nonsense")
 
 
 def test_real_decode_features_end_to_end(ray_session):
-    """Mixed REAL-format assets (BMP + WAV + Y4M) through the Ray actor-pool
-    decode stage: features equal a direct numpy recompute, bitwise."""
+    """Mixed REAL-format assets (BMP + WAV + Y4M + PNG) through the Ray
+    actor-pool decode stage: features equal a direct numpy recompute,
+    bitwise."""
     t = MM.synth_media_table(n=18, seed=11, fmt="mixed")
+    assert "png" in set(t["format"].to_pylist())  # compressed codec in play
     out = (MM.decode_features(ray.data.from_arrow(t), decoder="real")
            .to_pandas().sort_values("asset_id").reset_index(drop=True))
     assert len(out) == 18

@@ -389,11 +389,13 @@ GROUP BY tok ORDER BY n DESC, token ASC LIMIT 100
 
 def q_media_decode_features(sf_dir: str):
     """Multimodal decode through the driver surface: deterministic synthetic
-    assets in REAL public formats (BMP images, PCM16 WAV audio, Y4M video,
-    cycled per row) → fixed-pool :class:`RealDecoder` stage → per-asset
-    value features. The decoders are spec-conformant pure-numpy/stdlib
-    (``stages/codecs.py``, byte-exact round-trip-tested); only compressed
-    codecs (PNG/JPEG/MP4) remain gated behind ``NotImplementedError``."""
+    assets in REAL public formats (BMP and PNG images, PCM16 WAV audio, Y4M
+    video, cycled per row) → fixed-pool :class:`RealDecoder` stage →
+    per-asset value features. The decoders are spec-conformant pure
+    numpy/stdlib (``stages/codecs.py``, byte-exact round-trip-tested); PNG
+    is a real compressed codec (stdlib zlib DEFLATE + all five scanline
+    filters); only codecs with no stdlib decompressor (JPEG/MP4) remain
+    gated behind ``NotImplementedError``."""
     from ..stages.multimodal import decode_features, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(n=64, seed=42, fmt="mixed"))

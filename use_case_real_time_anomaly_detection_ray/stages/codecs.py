@@ -9,12 +9,17 @@ implementable without any image/audio library:
 - **WAV** (RIFF PCM): 16-bit mono via the stdlib :mod:`wave` module.
 - **Y4M** (YUV4MPEG2, mjpegtools): ``Cmono`` and ``C420*`` streams; the
   decoder returns the luma (Y) plane per frame.
+- **PNG** (RFC 2083 / ISO 15948): 8-bit grayscale, RGB, palette,
+  gray+alpha and RGBA, all five scanline filters (None/Sub/Up/Average/
+  Paeth), CRC-verified chunks — DEFLATE comes from the stdlib
+  :mod:`zlib`, so this is a real compressed-codec path with no external
+  library. Adam7 interlacing and 1/2/4/16-bit depths raise.
 
-Compressed formats (PNG/JPEG/MP3/MP4/...) genuinely need external codec
-libraries that are not in this container; :func:`sniff_format` classifies
-them so callers can raise an explicit ``NotImplementedError`` instead of
-misparsing. Encoders exist for every decoder so tests can pin byte-exact
-round-trips (encode -> decode == original array).
+Remaining compressed formats (JPEG/MP3/MP4/...) genuinely need external
+codec libraries that are not in this container; :func:`sniff_format`
+classifies them so callers can raise an explicit ``NotImplementedError``
+instead of misparsing. Encoders exist for every decoder so tests can pin
+byte-exact round-trips (encode -> decode == original array).
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -31,7 +37,6 @@ import numpy as np
 
 #: magic -> format name for compressed formats we explicitly do NOT decode
 _COMPRESSED_MAGIC = (
-    (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
     (b"ID3", "mp3"),
@@ -44,9 +49,12 @@ _COMPRESSED_MAGIC = (
 def sniff_format(payload: bytes) -> str:
     """Classify a payload by magic bytes.
 
-    Returns one of ``bmp pgm wav y4m`` (decodable here), a compressed-format
-    name (``png jpeg ...`` — NOT decodable here), or ``unknown``.
+    Returns one of ``bmp pgm wav y4m png`` (decodable here), a
+    compressed-format name (``jpeg mp4 ...`` — NOT decodable here), or
+    ``unknown``.
     """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P5":
@@ -271,3 +279,206 @@ def decode_y4m(payload: bytes) -> np.ndarray:
     w, h, start, stride, n = _y4m_layout(payload)
     return np.stack([decode_y4m_frame(payload, i) for i in range(n)]) \
         if n else np.empty((0, h, w), np.uint8)
+
+
+# --------------------------------------------------------------------------
+# PNG — ISO 15948 / RFC 2083; DEFLATE via stdlib zlib, filters in numpy
+# --------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel (bit depth 8 only, so bytes == samples)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Integer Rec.601 luma, identical rounding to decode_bmp so a color image
+# encoded as PNG and as BMP reduces to the same grayscale bytes.
+def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    r = rgb.astype(np.uint32)
+    return ((299 * r[..., 0] + 587 * r[..., 1] + 114 * r[..., 2] + 500)
+            // 1000).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int32 lane arrays (spec §6.6)."""
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _filter_rows(img2d: np.ndarray, bpp: int, filters) -> tuple[np.ndarray, bytes]:
+    """Compute all five filtered variants of every scanline, pick one per row.
+
+    ``img2d`` is (h, stride) uint8 raw scanline bytes. ``filters`` is an int,
+    a per-row sequence, or ``"adaptive"`` (minimum sum of absolute signed
+    filtered bytes — the classic deterministic heuristic, exercises every
+    filter on real data). Returns (chosen filter ids, raw filtered stream).
+    """
+    h, stride = img2d.shape
+    cur = img2d.astype(np.int32)
+    prev = np.zeros_like(cur)
+    prev[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, bpp:] = cur[:, :-bpp]
+    upleft = np.zeros_like(cur)
+    upleft[1:, bpp:] = cur[:-1, :-bpp]
+    cand = np.empty((5, h, stride), np.uint8)
+    cand[0] = img2d
+    cand[1] = (cur - left) & 0xFF
+    cand[2] = (cur - prev) & 0xFF
+    cand[3] = (cur - ((left + prev) >> 1)) & 0xFF
+    cand[4] = (cur - _paeth_predict(left, prev, upleft)) & 0xFF
+    if isinstance(filters, str):
+        if filters != "adaptive":
+            raise ValueError(f"unknown filter strategy {filters!r}")
+        signed = np.abs(cand.astype(np.int16) - 256 * (cand > 127))
+        chosen = np.argmin(signed.sum(axis=2, dtype=np.int64), axis=0)
+    else:
+        chosen = np.broadcast_to(np.asarray(filters, np.int64), (h,))
+        if chosen.min() < 0 or chosen.max() > 4:
+            raise ValueError("PNG filter types are 0..4")
+    out = np.empty((h, 1 + stride), np.uint8)
+    out[:, 0] = chosen
+    out[:, 1:] = cand[chosen, np.arange(h)]
+    return chosen, out.tobytes()
+
+
+def encode_png(img: np.ndarray, filters="adaptive", level: int = 6) -> bytes:
+    """Encode (h, w) uint8 grayscale (color type 0) or (h, w, 3) uint8 RGB
+    (color type 2) as a non-interlaced 8-bit PNG. ``filters`` picks the
+    per-scanline filter: an int (0..4), a per-row sequence, or
+    ``"adaptive"`` (deterministic min-abs-sum heuristic)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, bpp = 0, 1
+        h, w = img.shape
+        raw = img
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, bpp = 2, 3
+        h, w = img.shape[:2]
+        raw = img.reshape(h, w * 3)
+    else:
+        raise ValueError(f"encode_png wants (h,w) gray or (h,w,3) RGB, "
+                         f"got {img.shape}")
+    _, filtered = _filter_rows(raw, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(filtered, level))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(filtered: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse the scanline filters: (h, 1+stride) -> (h, stride) uint8.
+
+    None/Sub/Up are fully vectorized (Sub is a per-lane cumsum mod 256);
+    Average/Paeth are sequential per pixel-column with vectorized lanes —
+    O(w) Python steps per such row, bounded by the small per-asset images
+    this stage is built for."""
+    h = filtered.shape[0]
+    stride = filtered.shape[1] - 1
+    w = stride // bpp
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ftype = int(filtered[y, 0])
+        row = filtered[y, 1:]
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 1:   # Sub: recon[x] = filt[x] + recon[x-bpp]
+            cur = (row.reshape(w, bpp).astype(np.uint32).cumsum(axis=0)
+                   & 0xFF).astype(np.uint8).reshape(stride)
+        elif ftype == 2:   # Up (uint8 addition wraps mod 256)
+            cur = row + prev
+        elif ftype == 3:   # Average
+            rowm = row.reshape(w, bpp).astype(np.int32)
+            prevm = prev.reshape(w, bpp).astype(np.int32)
+            out = np.empty((w, bpp), np.int32)
+            lane = np.zeros(bpp, np.int32)
+            for x in range(w):
+                lane = (rowm[x] + ((lane + prevm[x]) >> 1)) & 0xFF
+                out[x] = lane
+            cur = out.astype(np.uint8).reshape(stride)
+        elif ftype == 4:   # Paeth
+            rowm = row.reshape(w, bpp).astype(np.int32)
+            prevm = prev.reshape(w, bpp).astype(np.int32)
+            out = np.empty((w, bpp), np.int32)
+            lane = np.zeros(bpp, np.int32)
+            ul = np.zeros(bpp, np.int32)
+            for x in range(w):
+                lane = (rowm[x] + _paeth_predict(lane, prevm[x], ul)) & 0xFF
+                ul = prevm[x]
+                out[x] = lane
+            cur = out.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        recon[y] = cur
+        prev = cur
+    return recon
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (h, w) uint8 grayscale.
+
+    Color types 0/2/3/4/6 all supported; RGB(A) and palette entries reduce
+    via the same integer Rec.601 luma as :func:`decode_bmp` (alpha is
+    ignored — feature extraction wants the raw intensity). Every chunk's
+    CRC is verified. 1/2/4/16-bit depths and Adam7 interlacing raise."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = color_type = None
+    palette = None
+    idat: list[bytes] = []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype.decode('latin1')} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, fmethod, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if comp or fmethod:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace:
+                raise ValueError("Adam7 interlaced PNG unsupported")
+            if depth != 8:
+                raise ValueError(f"{depth}-bit PNG unsupported (8 only)")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"PNG color type {color_type} invalid")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, "
+            f"want {height * (stride + 1)}"
+        )
+    filtered = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    recon = _png_unfilter(filtered, bpp)
+    if color_type == 0:
+        return recon.copy()
+    if color_type == 2:
+        return _rgb_to_gray(recon.reshape(height, width, 3))
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return _rgb_to_gray(palette[recon])
+    if color_type == 4:   # gray + alpha: keep the gray sample
+        return recon.reshape(height, width, 2)[..., 0].copy()
+    return _rgb_to_gray(recon.reshape(height, width, 4)[..., :3])

@@ -4,12 +4,14 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 Two decoder tiers:
 
 - ``decoder="real"`` (:class:`RealDecoder`) — genuine spec-conformant
-  decoders for the uncompressed public formats implementable with pure
-  numpy + stdlib (:mod:`.codecs`): BMP and PGM images, PCM16 WAV audio,
-  YUV4MPEG2 (Y4M) video. Byte-exact round-trip-tested. Compressed formats
-  (PNG/JPEG/MP3/MP4/...) raise ``NotImplementedError`` naming the payload's
-  sniffed format and the intended library call — those codecs genuinely
-  need external libraries this container doesn't have.
+  decoders for the public formats implementable with pure numpy + stdlib
+  (:mod:`.codecs`): BMP, PGM and PNG images (PNG is a real compressed
+  codec — DEFLATE via stdlib ``zlib``, all five scanline filters),
+  PCM16 WAV audio, YUV4MPEG2 (Y4M) video. Byte-exact round-trip-tested.
+  Remaining compressed formats (JPEG/MP3/MP4/...) raise
+  ``NotImplementedError`` naming the payload's sniffed format and the
+  intended library call — those codecs genuinely need external libraries
+  this container doesn't have.
 - ``decoder="fake"`` (:class:`FakeDecoder`) — deterministic ndarray from a
   blake2b stream of the payload, for plumbing tests that want payload-shape
   independence.
@@ -50,22 +52,26 @@ def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image",
     """Deterministic asset table for tests/benchmarks.
 
     ``fmt="fake"`` keeps the legacy raw-bytes payloads (for
-    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "wav", "y4m"}`` encodes
-    REAL format bytes (``media_type`` is then implied by the format);
-    ``fmt="mixed"`` cycles bmp/wav/y4m per row."""
+    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "png", "wav", "y4m"}``
+    encodes REAL format bytes (``media_type`` is then implied by the
+    format); ``fmt="mixed"`` cycles bmp/wav/y4m/png per row."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        row_fmt = fmt if fmt != "mixed" else ("bmp", "wav", "y4m")[i % 3]
+        row_fmt = fmt if fmt != "mixed" else ("bmp", "wav", "y4m", "png")[i % 4]
         width, height = int(rng.integers(8, 64)), int(rng.integers(8, 64))
         if row_fmt == "fake":
             frames = 1 if media_type == "image" else int(rng.integers(2, 10))
             payload = rng.integers(0, 256, size=width * height,
                                    dtype=np.uint8).tobytes()
             rows.append((media_type, "fake", width, height, frames, payload))
-        elif row_fmt in ("bmp", "pgm"):
-            img = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
-            enc = codecs.encode_bmp if row_fmt == "bmp" else codecs.encode_pgm
+        elif row_fmt in ("bmp", "pgm", "png"):
+            # smooth gradient + noise so the adaptive PNG filter chooser
+            # actually picks different filters across rows
+            img = (rng.integers(0, 128, size=(height, width), dtype=np.uint8)
+                   + (np.arange(height, dtype=np.uint8)[:, None] % 128))
+            enc = {"bmp": codecs.encode_bmp, "pgm": codecs.encode_pgm,
+                   "png": codecs.encode_png}[row_fmt]
             rows.append(("image", row_fmt, width, height, 1, enc(img)))
         elif row_fmt == "wav":
             n_samp = int(rng.integers(500, 2000))
@@ -117,11 +123,12 @@ class FakeDecoder:
 
 
 class RealDecoder:
-    """Spec-conformant decode for the uncompressed public formats
+    """Spec-conformant decode for the stdlib-decodable public formats
     (:mod:`.codecs`), dispatched on magic bytes. Returns the decoded array:
     (h, w) uint8 for images, (n,) int16 for audio, (n_frames, h, w) uint8
-    for video. Compressed payloads raise ``NotImplementedError`` naming the
-    sniffed format and the library a full deployment would plug in here."""
+    for video. Payloads in formats needing external codec libraries raise
+    ``NotImplementedError`` naming the sniffed format and the library a
+    full deployment would plug in here."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         kind = codecs.sniff_format(payload)
@@ -129,14 +136,16 @@ class RealDecoder:
             return codecs.decode_bmp(payload)
         if kind == "pgm":
             return codecs.decode_pgm(payload)
+        if kind == "png":
+            return codecs.decode_png(payload)
         if kind == "wav":
             return codecs.decode_wav(payload)[1]
         if kind == "y4m":
             return codecs.decode_y4m(payload)
         raise NotImplementedError(
-            f"payload sniffs as {kind!r}: compressed codecs need an external "
+            f"payload sniffs as {kind!r}: this codec needs an external "
             "library (PIL.Image.open / soundfile.read / av.open) not present "
-            "in this container; re-encode as bmp/pgm/wav/y4m or use "
+            "in this container; re-encode as png/bmp/pgm/wav/y4m or use "
             "decoder='fake' for plumbing tests"
         )
 
