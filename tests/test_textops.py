@@ -563,3 +563,65 @@ def test_vocab_topk_tie_boundary(ray_session):
     out = textops.vocab_topk(ds, k=3)
     assert list(out["token"]) == ["a", "b", "c"]
     assert list(out["n"]) == [3, 3, 2]
+
+
+def _tfidf_reference(df, m=3):
+    """Brute-force pandas/python tf-idf reference with the operator's exact
+    rounding and (rounded desc, term asc) tie order."""
+    from collections import Counter
+
+    n_docs = len(df)
+    doc_tf = {row.doc_id: Counter(T.words(row.text))
+              for row in df.itertuples()}
+    dfreq = Counter()
+    for c in doc_tf.values():
+        dfreq.update(c.keys())
+    rows = []
+    for did, c in doc_tf.items():
+        scored = []
+        for term, tf in c.items():
+            s = np.floor(tf * np.log(n_docs / dfreq[term]) * 1e6 + 0.5) / 1e6
+            scored.append((-s, term, tf, s))
+        for negs, term, tf, s in sorted(scored)[:m]:
+            rows.append((did, term, tf, s))
+    return (pd.DataFrame(rows, columns=["doc_id", "term", "tf", "tfidf"])
+            .sort_values(["doc_id", "term"]).reset_index(drop=True))
+
+
+def test_tfidf_top_terms_matches_reference(corpus):
+    df = corpus[0]
+    want = _tfidf_reference(df, m=3)
+    got = (textops.tfidf_top_terms(_ds(df), m=3).to_pandas()
+           .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_tfidf_broadcast_and_bucketed_paths_equal(corpus):
+    """broadcast_vocab=0 forces the two-shuffle co-location wiring; output
+    must be byte-identical to the broadcast-df wiring."""
+    df = corpus[0]
+    a = (textops.tfidf_top_terms(_ds(df), m=4).to_pandas()
+         .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    b = (textops.tfidf_top_terms(_ds(df), m=4, broadcast_vocab=0,
+                                 num_buckets=7).to_pandas()
+         .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # every doc with tokens is present with <= m rows, ranked by the
+    # rounded score then term
+    per = a.groupby("doc_id").size()
+    assert per.le(4).all() and len(per) == len(df)
+
+
+def test_tfidf_ubiquitous_term_scores_zero(ray_session):
+    """A term in every doc has ln(N/df)=0 exactly; rarer terms outrank it."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common rare1 rare1", "common rare2", "common"],
+    })
+    out = textops.tfidf_top_terms(ray.data.from_pandas(df), m=2).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("tfidf", ascending=False)
+    assert d1.iloc[0]["term"] == "rare1" and d1.iloc[0]["tf"] == 2
+    common = out[out["term"] == "common"]
+    assert (common["tfidf"] == 0.0).all()
+    # doc 3 has only the ubiquitous term: still emitted, score 0
+    assert set(out[out["doc_id"] == 3]["term"]) == {"common"}

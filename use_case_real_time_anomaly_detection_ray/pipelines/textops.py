@@ -1222,6 +1222,185 @@ def vocab_topk(
             .reset_index(drop=True))
 
 
+#: Distinct-term (vocabulary) rows above which :func:`tfidf_top_terms`
+#: switches from the broadcast df map to the bucketed two-shuffle join.
+#: 2 M terms ≈ 50 MB broadcast — comfortably ray.put-able; web-scale
+#: vocabularies (10^8+) take the co-location path.
+TFIDF_BROADCAST_VOCAB = 2_000_000
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    broadcast_vocab: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document top-``m`` terms by tf-idf over whitespace tokens.
+
+    ``tfidf = tf * ln(N / df)`` rounded half-up to 1e-6 (the same float
+    discipline as the cosine oracles, so engine and DuckDB agree bitwise);
+    ranking is on the ROUNDED score, ties broken by term ascending.
+
+    Scale shape: document-frequency is a per-block set-Counter partial
+    merged by term-hash bucket (vocabulary-sized, never corpus-sized).
+    Below ``broadcast_vocab`` distinct terms, the df table broadcasts via
+    ``ray.put`` and each document scores + ranks entirely inside one
+    ``map_batches`` — zero row-level shuffles. Above it, (doc, term, tf)
+    rows co-locate with df rows by term-hash bucket (shuffle 1: vectorized
+    Series.reindex join, all-Arrow payloads), then by doc-hash bucket
+    (shuffle 2: one lexsort + run-boundary rank pass for every doc in the
+    bucket — never a per-doc Python group). Both wirings are pinned
+    byte-identical by ``tests/test_textops.py``.
+    """
+    from collections import Counter
+
+    if broadcast_vocab is None:
+        broadcast_vocab = TFIDF_BROADCAST_VOCAB
+    n_docs = ds.count()
+    # the union's df side must carry a typed null id column, so resolve the
+    # id's Arrow type up front (pandas-block datasets expose numpy dtypes)
+    sch = ds.schema()
+    raw_t = dict(zip(sch.names, sch.types))[id_col]
+    if isinstance(raw_t, pa.DataType):
+        id_type = raw_t
+    elif getattr(raw_t, "kind", None) in ("O", "U"):
+        id_type = pa.string()
+    else:
+        id_type = pa.from_numpy_dtype(raw_t)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            c.update(set(T.words(txt)))
+        toks = list(c.keys())
+        return pa.table({"term": pa.array(toks, pa.string()),
+                         "df": pa.array([c[x] for x in toks], pa.int64())})
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False)["df"].sum().reset_index()
+
+    df_ds = bucketed_merge(parts, ["term"], df_merge, num_buckets).materialize()
+
+    def _score(tf: np.ndarray, dfv: np.ndarray) -> np.ndarray:
+        # identical op order to the SQL: (tf * ln(N/df)) * 1e6, half-up
+        return np.floor(tf * np.log(n_docs / dfv) * 1e6 + 0.5) / 1e6
+
+    if df_ds.count() <= broadcast_vocab:
+        df_tbl = to_arrow_single(df_ds)
+        ref = ray.put(dict(zip(df_tbl["term"].to_pylist(),
+                               df_tbl["df"].to_pylist())))
+
+        def score_block(t: pa.Table) -> pa.Table:
+            dfm = _fetch(ref)
+            ids_out: list = []
+            terms_out: list[str] = []
+            tf_out: list[int] = []
+            sc_out: list[float] = []
+            for did, txt in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
+                items = list(Counter(T.words(txt)).items())
+                if not items:
+                    continue
+                terms = np.array([x[0] for x in items])
+                tf = np.array([x[1] for x in items], np.float64)
+                dfv = np.array([dfm[x[0]] for x in items], np.float64)
+                sc = _score(tf, dfv)
+                keep = np.lexsort((terms, -sc))[:m]
+                ids_out.extend([did] * len(keep))
+                terms_out.extend(terms[keep].tolist())
+                tf_out.extend(tf[keep].astype(np.int64).tolist())
+                sc_out.extend(sc[keep].tolist())
+            return pa.table({
+                id_col: pa.array(ids_out, id_type),
+                "term": pa.array(terms_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "tfidf": pa.array(sc_out, pa.float64()),
+            })
+
+        return ds.map_batches(score_block, batch_format="pyarrow")
+
+    # ---- scale path: two bucketed co-locations, all-Arrow payloads ----
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for term, n in Counter(T.words(txt)).items():
+                ids.append(did)
+                terms.append(term)
+                tfs.append(n)
+        return pa.table({
+            id_col: pa.array(ids, id_type),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "df": pa.nulls(len(ids), pa.int64()),
+        })
+
+    def df_tagged(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.nulls(t.num_rows, id_type),
+            "term": t["term"],
+            "tf": pa.nulls(t.num_rows, pa.int64()),
+            "df": t["df"],
+        })
+
+    tagged = ds.map_batches(tf_rows, batch_format="pyarrow",
+                            batch_size=None).union(
+        df_ds.map_batches(df_tagged, batch_format="pyarrow", batch_size=None))
+
+    def join_df(t: pa.Table) -> pa.Table:
+        is_df = pc.is_valid(t["df"])
+        left = t.filter(pc.invert(is_df))
+        right = t.filter(is_df)
+        if left.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        lookup = pd.Series(right["df"].to_numpy(zero_copy_only=False),
+                           index=right["term"].to_pandas())
+        dfv = lookup.reindex(left["term"].to_pandas()).to_numpy()
+        if np.isnan(dfv.astype(np.float64)).any():
+            missing = set(left["term"].to_pylist()) - set(lookup.index)
+            raise AssertionError(
+                f"tf terms missing from the df side of their bucket: "
+                f"{sorted(missing)[:5]}"
+            )
+        return pa.table({id_col: left[id_col], "term": left["term"],
+                         "tf": left["tf"],
+                         "df": pa.array(dfv.astype(np.int64), pa.int64())})
+
+    from ..stages.reduce import bucketed_merge_arrow
+
+    joined = bucketed_merge_arrow(tagged, ["term"], join_df, num_buckets)
+
+    def topm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "tfidf": pa.array([], pa.float64())})
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = _score(tf, dfv)
+        ids = t[id_col].to_pandas().to_numpy()
+        terms = t["term"].to_pandas().to_numpy()
+        order = np.lexsort((terms, -sc, ids))
+        sid = ids[order]
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        run_len = np.diff(np.r_[starts, len(sid)])
+        rank = np.arange(len(sid)) - np.repeat(starts, run_len)
+        keep = order[rank < m]
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table({id_col: sub[id_col], "term": sub["term"],
+                         "tf": sub["tf"],
+                         "tfidf": pa.array(sc[keep], pa.float64())})
+
+    return bucketed_merge_arrow(joined, [id_col], topm, num_buckets)
+
+
 def lang_id_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Language-ID stage — stateless tasks (the marker tables are module
     constants, nothing to amortize)."""

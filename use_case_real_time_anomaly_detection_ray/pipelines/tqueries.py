@@ -387,6 +387,38 @@ GROUP BY tok ORDER BY n DESC, token ASC LIMIT 100
 """
 
 
+def q_doc_tfidf_top(sf_dir: str):
+    """Per-document top-5 tf-idf terms (``tf * ln(N/df)`` rounded half-up
+    to 1e-6, ranked on the rounded score, ties by term ascending). The df
+    table is vocabulary-sized — broadcast below
+    ``textops.TFIDF_BROADCAST_VOCAB`` distinct terms, bucketed two-shuffle
+    co-location above (both wirings pinned byte-identical in pytest)."""
+    return textops.tfidf_top_terms(_docs(sf_dir), m=5)
+
+
+SQL_DOC_TFIDF_TOP = """
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         floor(tf.tf * ln(n.n_docs / df.df) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rk <= 5
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
 def q_media_decode_features(sf_dir: str):
     """Multimodal decode through the driver surface: deterministic synthetic
     assets in REAL public formats (BMP and PNG images, PCM16 WAV audio, Y4M
@@ -427,6 +459,7 @@ TEXT_QUERIES = {
     "doc_simhash_dedup": q_doc_simhash_dedup,
     "doc_lang_id": q_doc_lang_id,
     "doc_vocab_topk": q_doc_vocab_topk,
+    "doc_tfidf_top": q_doc_tfidf_top,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -441,6 +474,7 @@ TEXT_ORACLE = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
+    "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
