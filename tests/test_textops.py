@@ -625,3 +625,91 @@ def test_tfidf_ubiquitous_term_scores_zero(ray_session):
     assert (common["tfidf"] == 0.0).all()
     # doc 3 has only the ubiquitous term: still emitted, score 0
     assert set(out[out["doc_id"] == 3]["term"]) == {"common"}
+
+
+def test_heavy_hitters_sketch_equals_exact(ray_session):
+    """Two-pass lossy-counting output must be byte-identical to the
+    single-pass exact wiring — and both to a brute-force Counter — on a
+    skewed corpus with a vocabulary far larger than 1/phi."""
+    from collections import Counter
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(5000)]
+    # Zipf-flavored skew: a handful of hot tokens + a long uniform tail
+    docs = []
+    for i in range(40):
+        hot = [vocab[j % 7] for j in rng.integers(0, 7, 30)]
+        tail = [vocab[j] for j in rng.integers(7, 5000, 120)]
+        docs.append(" ".join(hot + tail))
+    df = pd.DataFrame({"doc_id": range(40), "text": docs})
+    ds = ray.data.from_pandas([df.iloc[:13], df.iloc[13:26], df.iloc[26:]])
+    phi = 0.005
+    sk = textops.heavy_hitters(ds, phi=phi, method="sketch", num_buckets=5)
+    ex = textops.heavy_hitters(ds, phi=phi, method="exact", num_buckets=5)
+    pd.testing.assert_frame_equal(sk, ex, check_exact=True)
+    c = Counter(w for d in docs for w in d.split())
+    total = sum(c.values())
+    want = sorted(((t, n) for t, n in c.items() if n > phi * total),
+                  key=lambda x: (-x[1], x[0]))
+    assert list(map(tuple, sk.itertuples(index=False))) == want
+    assert len(sk) >= 7  # the planted hot tokens are all heavy
+
+
+def test_heavy_hitters_empty_and_type_stability(ray_session):
+    df = pd.DataFrame({"doc_id": [1], "text": [""]})
+    out = textops.heavy_hitters(ray.data.from_pandas(df), phi=0.01)
+    assert len(out) == 0 and list(out.columns) == ["token", "n"]
+    assert out["n"].dtype == np.int64
+
+
+def test_hll_register_rows_reference():
+    """register/rank extraction against a bit-twiddling python reference."""
+    from use_case_real_time_anomaly_detection_ray.state import hll
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 2**64, 500, dtype=np.uint64)
+    hashes[0] = 0                      # all-zero hash
+    hashes[1] = (1 << 63)              # only the top bit set
+    hashes[2] = (1 << 49)             # register 0, first remaining bit set
+    for p in (4, 14):
+        reg, rank = hll.register_rows(hashes, p)
+        for h, r, k in zip(hashes.tolist(), reg.tolist(), rank.tolist()):
+            assert r == h >> (64 - p)
+            w = (h << p) & ((1 << 64) - 1)
+            want = (64 - p) + 1 if w == 0 else min(
+                64 - len(bin(w)[2:]), 64 - p) + 1
+            assert k == want, (hex(h), p, k, want)
+
+
+def test_hll_estimate_accuracy_and_block_invariance(ray_session):
+    """±3 % on a 60k-distinct-token corpus (p=14 → 0.81 % typical), and the
+    estimate must not depend on how rows split into blocks."""
+    rng = np.random.default_rng(9)
+    n_vocab = 60_000
+    words = np.array([f"t{i}" for i in range(n_vocab)])
+    docs = [" ".join(words[rng.integers(0, n_vocab, 400)]) for _ in range(300)]
+    seen = set(w for d in docs for w in d.split())
+    df = pd.DataFrame({"doc_id": range(300), "text": docs})
+    one = textops.distinct_tokens_hll(ray.data.from_pandas(df), p=14)
+    many = textops.distinct_tokens_hll(
+        ray.data.from_pandas([df.iloc[i::7] for i in range(7)]), p=14)
+    est = one["n_distinct_est"].iloc[0]
+    assert est == many["n_distinct_est"].iloc[0]  # merge-invariant
+    assert abs(est - len(seen)) / len(seen) < 0.03
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_hll_pinned_on_driver_tables(ray_session, sf):
+    import duckdb
+
+    from use_case_real_time_anomaly_detection_ray.pipelines import tqueries
+
+    est = tqueries.q_doc_distinct_hll(f"/root/testdata/sf{sf}")[
+        "n_distinct_est"].iloc[0]
+    exact = duckdb.sql(f"""
+        SELECT COUNT(DISTINCT tok) FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM read_parquet('/root/testdata/sf{sf}/documents.parquet'))
+    """).fetchone()[0]
+    assert abs(est - exact) / exact < 0.03, (sf, est, exact)

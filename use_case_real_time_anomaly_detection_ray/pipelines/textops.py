@@ -1222,6 +1222,150 @@ def vocab_topk(
             .reset_index(drop=True))
 
 
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    phi: float = 0.002,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    method: str = "sketch",
+) -> pd.DataFrame:
+    """Tokens with corpus frequency strictly above ``phi`` × total tokens,
+    with EXACT counts, sorted by (count desc, token asc).
+
+    ``method="exact"``: per-block Counter partials over every token →
+    term-hash bucketed sum → threshold filter. Shuffle volume is
+    O(blocks × per-block vocabulary).
+
+    ``method="sketch"``: two-pass lossy counting. Pass 1 prunes each
+    block's Counter to tokens with block count > n_block/k where
+    k = ceil(2/phi) — at most k rows survive per block, and the pruned
+    per-block counts undercount any token by at most n_block/k, so the
+    bucketed sums undercount by at most total/k. Every true heavy hitter
+    therefore still exceeds (phi − 1/k)·total ≥ phi·total/2 in the summed
+    lower bounds (candidate-superset guarantee); at most
+    1/(phi − 1/k) ≤ 2/phi candidates survive. Pass 2 broadcasts that
+    candidate set and counts it exactly, so the output is EXACT and
+    identical to ``method="exact"`` (pinned by pytest) at
+    O(blocks × 2/phi) shuffle volume — the web-scale path when per-block
+    vocabularies dwarf 1/phi.
+    """
+    from collections import Counter
+
+    if method not in ("exact", "sketch"):
+        raise ValueError(f"method must be 'exact' or 'sketch', got {method!r}")
+
+    def block_total(t: pa.Table) -> pa.Table:
+        n = sum(T.token_count(x) for x in t[text_col].to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = int(ds.map_batches(block_total, batch_format="pyarrow",
+                               batch_size=None).sum("n") or 0)
+    if total == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    thr = phi * float(total)  # same double arithmetic as the SQL HAVING
+
+    def counts(t: pa.Table, keep=None, prune_k: int | None = None) -> pa.Table:
+        c: Counter = Counter()
+        n_block = 0
+        for txt in t[text_col].to_pylist():
+            w = T.words(txt)
+            n_block += len(w)
+            c.update(w if keep is None else [x for x in w if x in keep])
+        items = list(c.items())
+        if prune_k is not None:
+            # lossy-counting prune: drop tokens a single block cannot prove
+            # heavy-ish; the per-token loss is bounded by n_block/prune_k
+            items = [(tok, n) for tok, n in items if n * prune_k > n_block]
+        return pa.table({
+            "token": pa.array([x[0] for x in items], pa.string()),
+            "n": pa.array([x[1] for x in items], pa.int64()),
+        })
+
+    def sum_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["n"].sum().reset_index()
+
+    if method == "sketch":
+        k = int(np.ceil(2.0 / phi))
+        pass1 = ds.map_batches(lambda t: counts(t, prune_k=k),
+                               batch_format="pyarrow", batch_size=None)
+        lower = bucketed_merge(pass1, ["token"], sum_merge, num_buckets)
+        lower_t = to_arrow_single(lower)
+        lb = lower_t["n"].to_numpy(zero_copy_only=False)
+        # −1 pads the float evaluation of the real-arithmetic bound so an
+        # ulp round-up can never exclude a boundary candidate (a few extra
+        # candidates are free; a missed one breaks the superset guarantee)
+        cand_thr = (phi - 1.0 / k) * float(total) - 1.0
+        cand = {t for t, n in zip(lower_t["token"].to_pylist(), lb)
+                if n > cand_thr}
+        if not cand:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        ref = ray.put(frozenset(cand))
+        partials = ds.map_batches(
+            lambda t: counts(t, keep=_fetch(ref)),
+            batch_format="pyarrow", batch_size=None)
+    else:
+        partials = ds.map_batches(counts, batch_format="pyarrow",
+                                  batch_size=None)
+
+    summed = bucketed_merge(partials, ["token"], sum_merge, num_buckets)
+    out = to_arrow_single(summed).to_pandas()
+    out = out[out["n"].to_numpy() > thr]
+    return (out.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True))
+
+
+def distinct_tokens_hll(
+    ds: "ray.data.Dataset",
+    p: int = 14,
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Approximate distinct-token count via a mergeable HyperLogLog sketch
+    (``state/hll.py``; std error ≈ 1.04/sqrt(2^p), 0.81 % at p=14).
+
+    Distributed shape: each block hashes its distinct tokens (blake2b-64,
+    process-independent) and emits only its NON-ZERO (register, rank) rows
+    (≤ 2^p per block, independent of vocabulary); a register-hash bucketed
+    max-merge completes each register; the driver folds ≤ 2^p tiny rows —
+    never tokens. One row out: (n_distinct_est, p). Accuracy is pinned at
+    three corpus scales by ``tests/test_textops.py``."""
+    from ..state import hll
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for txt in t[text_col].to_pylist():
+            toks.update(T.words(txt))
+        if not toks:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        hashes = np.fromiter((T.hash64(x) for x in toks), np.uint64,
+                             count=len(toks))
+        reg, rank = hll.register_rows(hashes, p)
+        # per-block register max: ≤ 2^p rows leave the block
+        order = np.lexsort((-rank, reg))
+        keep = np.r_[True, reg[order][1:] != reg[order][:-1]]
+        sel = order[keep]
+        return pa.table({"reg": pa.array(reg[sel], pa.int64()),
+                         "rank": pa.array(rank[sel], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("reg", sort=False)["rank"].max().reset_index()
+
+    rows = to_arrow_single(
+        bucketed_merge(parts, ["reg"], merge, num_buckets))
+    regs = hll.fold_registers(
+        rows["reg"].to_numpy(zero_copy_only=False),
+        rows["rank"].to_numpy(zero_copy_only=False), p,
+    ) if rows.num_rows else hll.fold_registers(
+        np.array([], np.int64), np.array([], np.int64), p)
+    return pd.DataFrame({"n_distinct_est": [hll.estimate(regs)],
+                         "p": np.array([p], np.int64)})
+
+
 #: Distinct-term (vocabulary) rows above which :func:`tfidf_top_terms`
 #: switches from the broadcast df map to the bucketed two-shuffle join.
 #: 2 M terms ≈ 50 MB broadcast — comfortably ray.put-able; web-scale

@@ -419,6 +419,36 @@ ORDER BY doc_id, tfidf DESC, term
 """
 
 
+def q_doc_heavy_tokens(sf_dir: str):
+    """Heavy hitters: tokens above 0.2 % corpus frequency with EXACT counts
+    via two-pass lossy counting (per-block pruned Counter partials →
+    candidate superset → exact broadcast-restricted recount; identical to
+    the single-pass exact wiring, pinned in pytest)."""
+    return textops.heavy_hitters(_docs(sf_dir), phi=0.002, method="sketch")
+
+
+SQL_DOC_HEAVY_TOKENS = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tot FROM toks)
+SELECT tok AS token, COUNT(*) AS n
+FROM toks, tot
+GROUP BY tok, tot.n_tot
+HAVING COUNT(*) > tot.n_tot * 0.002
+ORDER BY n DESC, token ASC
+"""
+
+
+def q_doc_distinct_hll(sf_dir: str):
+    """Distinct-token cardinality estimate from the mergeable HyperLogLog
+    sketch (p=14, ±0.81 % typical) — rows-only by nature (an estimator has
+    no SQL-reproducible value); accuracy is pinned vs exact distinct counts
+    at three corpus scales in pytest."""
+    return textops.distinct_tokens_hll(_docs(sf_dir), p=14)
+
+
 def q_media_decode_features(sf_dir: str):
     """Multimodal decode through the driver surface: deterministic synthetic
     assets in REAL public formats (BMP and PNG images, PCM16 WAV audio, Y4M
@@ -460,6 +490,8 @@ TEXT_QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_tfidf_top": q_doc_tfidf_top,
+    "doc_heavy_tokens": q_doc_heavy_tokens,
+    "doc_distinct_hll": q_doc_distinct_hll,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -475,6 +507,7 @@ TEXT_ORACLE = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
     "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
+    "doc_heavy_tokens": SQL_DOC_HEAVY_TOKENS,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
