@@ -150,6 +150,8 @@ def run_bench() -> dict:
         "doc_minhash_dedup": TEXT_QUERIES["doc_minhash_dedup"],
         "doc_simhash_dedup": TEXT_QUERIES["doc_simhash_dedup"],
         "doc_lang_id": TEXT_QUERIES["doc_lang_id"],
+        "doc_tfidf_top": TEXT_QUERIES["doc_tfidf_top"],
+        "doc_heavy_tokens": TEXT_QUERIES["doc_heavy_tokens"],
         "ann_topk": TEXT_QUERIES["ann_topk"],
         "ann_ivf_topk": TEXT_QUERIES["ann_ivf_topk"],
         "events_sessionize": STREAM_QUERIES["events_sessionize"],

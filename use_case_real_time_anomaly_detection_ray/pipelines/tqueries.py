@@ -485,17 +485,17 @@ TEXT_QUERIES = {
     "ann_topk": q_ann_topk,
     "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
     "doc_minhash_dedup": q_doc_minhash_dedup,
-    # rows-only:
-    "doc_simhash_dedup": q_doc_simhash_dedup,
     "doc_lang_id": q_doc_lang_id,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_heavy_tokens": q_doc_heavy_tokens,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    # rows-only (no SQL-expressible oracle; exact pytest self-oracles):
+    "doc_simhash_dedup": q_doc_simhash_dedup,
     "doc_distinct_hll": q_doc_distinct_hll,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "media_decode_features": q_media_decode_features,
     "media_frame_sample": q_media_frame_sample,
 }
