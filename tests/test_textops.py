@@ -713,3 +713,53 @@ def test_hll_pinned_on_driver_tables(ray_session, sf):
           FROM read_parquet('/root/testdata/sf{sf}/documents.parquet'))
     """).fetchone()[0]
     assert abs(est - exact) / exact < 0.03, (sf, est, exact)
+
+
+def test_bm25_matches_reference_and_block_invariant(corpus):
+    """BM25 vs a brute-force python reference with the operator's exact
+    float discipline; result independent of block splits; the top-k cut
+    agrees with ranking the full score table."""
+    from collections import Counter
+
+    df = corpus[0]
+    query = "tok1 tok5 tok700"
+    q_terms = sorted(set(query.split()))
+    doc_words = {r.doc_id: T.words(r.text) for r in df.itertuples()}
+    n_docs = float(len(df))
+    avgdl = sum(len(w) for w in doc_words.values()) / n_docs
+    dfreq = Counter(t for w in doc_words.values() for t in set(w) if t in q_terms)
+    rows = []
+    for did, w in doc_words.items():
+        c = Counter(x for x in w if x in q_terms)
+        if not c:
+            continue
+        s = 0.0
+        for term in q_terms:
+            tf = c.get(term)
+            if not tf:
+                continue
+            idf = np.log((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+            contrib = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(w) / avgdl))
+            s += np.floor(contrib * 1e6 + 0.5) / 1e6
+        rows.append((did, np.floor(s * 1e6 + 0.5) / 1e6))
+    want = (pd.DataFrame(rows, columns=["doc_id", "score"])
+            .sort_values(["score", "doc_id"], ascending=[False, True],
+                         kind="mergesort").head(5).reset_index(drop=True))
+    got = textops.bm25_topk(_ds(df), query, k=5)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # different block layout, same bytes
+    ds3 = ray.data.from_pandas([df.iloc[i::5] for i in range(5)])
+    pd.testing.assert_frame_equal(textops.bm25_topk(ds3, query, k=5), got,
+                                  check_exact=True)
+
+
+def test_bm25_rare_term_outranks(ray_session):
+    """A doc matching only the rare query term must outrank one matching
+    only the ubiquitous term (the idf spread actually orders results)."""
+    docs = ["common rareterm", *(["common filler"] * 20)]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = textops.bm25_topk(ray.data.from_pandas(df), "common rareterm", k=3)
+    assert out.iloc[0]["doc_id"] == 0
+    assert out.iloc[0]["score"] > out.iloc[1]["score"]
+    with pytest.raises(ValueError, match="empty"):
+        textops.bm25_topk(ray.data.from_pandas(df), "   ")

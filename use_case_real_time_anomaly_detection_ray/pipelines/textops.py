@@ -1316,6 +1316,99 @@ def heavy_hitters(
                             kind="mergesort").reset_index(drop=True))
 
 
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Okapi BM25 top-``k`` documents for a fixed query string.
+
+    ``score(d) = Σ_t round6(idf(t) · tf·2.2 / (tf + k1·(1−b+b·dl/avgdl)))``
+    with the Lucene-style always-positive ``idf = ln((N−df+0.5)/(df+0.5)+1)``.
+    Each term's contribution is rounded half-up to 1e-6 BEFORE the sum —
+    the real-arithmetic sum of 1e-6 multiples is itself on the 1e-6 grid,
+    so the final rounded score is independent of addition order and the
+    DuckDB oracle matches bitwise.
+
+    Scale shape (zero shuffles): pass 1 folds per-block partials of the
+    only global stats — doc count, token total, and df for the ≤|query|
+    terms (a handful of scalars per block); pass 2 broadcasts them, scores
+    each block locally, and emits per-block top-``k`` rows; the driver
+    folds blocks × k rows. Docs containing no query term are excluded
+    (score would be 0), matching the oracle's join semantics.
+    """
+    from collections import Counter
+
+    q_terms = sorted(set(T.words(query)))
+    if not q_terms:
+        raise ValueError("empty query")
+    q_set = frozenset(q_terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n_docs = 0
+        n_toks = 0
+        dfc: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            w = T.words(txt)
+            n_docs += 1
+            n_toks += len(w)
+            dfc.update(q_set.intersection(w))
+        cols = {"n_docs": [n_docs], "n_toks": [n_toks]}
+        cols.update({f"df_{i}": [dfc[term]] for i, term in enumerate(q_terms)})
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
+    parts = to_arrow_single(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       batch_size=None)).to_pandas().sum()
+    n_docs = float(parts["n_docs"])
+    if not n_docs:
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    avgdl = float(parts["n_toks"]) / n_docs
+    idf = {term: float(np.log((n_docs - float(parts[f"df_{i}"]) + 0.5)
+                              / (float(parts[f"df_{i}"]) + 0.5) + 1.0))
+           for i, term in enumerate(q_terms)}
+
+    def score_block(t: pa.Table) -> pa.Table:
+        ids_out, sc_out = [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            w = T.words(txt)
+            c = Counter(x for x in w if x in q_set)
+            if not c:
+                continue
+            dl = len(w)
+            s = 0.0
+            for term in q_terms:
+                tf = c.get(term)
+                if not tf:
+                    continue
+                contrib = (idf[term] * tf * 2.2
+                           / (tf + k1 * (1 - b + b * dl / avgdl)))
+                s += np.floor(contrib * 1e6 + 0.5) / 1e6
+            ids_out.append(did)
+            sc_out.append(np.floor(s * 1e6 + 0.5) / 1e6)
+        if not ids_out:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "score": pa.array([], pa.float64())})
+        ids_np = np.array(ids_out)
+        sc_np = np.array(sc_out, np.float64)
+        keep = np.lexsort((ids_np, -sc_np))[:k]  # per-block top-k partial
+        return pa.table({
+            id_col: pa.array(ids_np[keep].tolist(),
+                             t.schema.field(id_col).type),
+            "score": pa.array(sc_np[keep], pa.float64()),
+        })
+
+    out = to_arrow_single(
+        ds.map_batches(score_block, batch_format="pyarrow")).to_pandas()
+    return (out.sort_values(["score", id_col], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True))
+
+
 def distinct_tokens_hll(
     ds: "ray.data.Dataset",
     p: int = 14,

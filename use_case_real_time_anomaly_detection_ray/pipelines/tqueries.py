@@ -441,6 +441,54 @@ ORDER BY n DESC, token ASC
 """
 
 
+#: fixed BM25 demo query — 'dup' is the corpus's one rare token, so the
+#: ranking actually exercises the idf spread
+_BM25_QUERY = "hash join dup"
+
+
+def q_doc_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 docs for a fixed query (k1=1.2, b=0.75, Lucene
+    idf). Zero-shuffle scale shape: scalar global stats (N, avgdl, per-
+    query-term df) fold from per-block partials, then every block scores
+    locally and emits its top-10; per-term contributions round to 1e-6
+    before summing so the score is addition-order-independent and matches
+    DuckDB bitwise."""
+    return textops.bm25_topk(_docs(sf_dir), _BM25_QUERY, k=10)
+
+
+SQL_DOC_BM25_TOPK = """
+WITH docs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl),
+q(term) AS (VALUES ('dup'), ('hash'), ('join')),
+tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS tok FROM docs)
+       GROUP BY doc_id, tok),
+qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         floor(SUM(
+           floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * qtf.tf * 2.2
+                 / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                 * 1000000 + 0.5) / 1000000
+         ) * 1000000 + 0.5) / 1000000 AS score
+  FROM qtf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY qtf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_distinct_hll(sf_dir: str):
     """Distinct-token cardinality estimate from the mergeable HyperLogLog
     sketch (p=14, ±0.81 % typical) — rows-only by nature (an estimator has
@@ -489,6 +537,7 @@ TEXT_QUERIES = {
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_heavy_tokens": q_doc_heavy_tokens,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     # rows-only (no SQL-expressible oracle; exact pytest self-oracles):
     "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -508,6 +557,7 @@ TEXT_ORACLE = {
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
     "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
     "doc_heavy_tokens": SQL_DOC_HEAVY_TOKENS,
+    "doc_bm25_topk": SQL_DOC_BM25_TOPK,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
