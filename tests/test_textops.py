@@ -763,3 +763,55 @@ def test_bm25_rare_term_outranks(ray_session):
     assert out.iloc[0]["score"] > out.iloc[1]["score"]
     with pytest.raises(ValueError, match="empty"):
         textops.bm25_topk(ray.data.from_pandas(df), "   ")
+
+
+def _numpy_lloyd(vecs, k, n_iter, seed, train_max):
+    """Single-process reference with kmeans_clusters' exact semantics."""
+    m = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    cent = ann._train_centroids(m[:train_max].copy(), k, seed, init="farthest")
+    for _ in range(n_iter):
+        a = np.argmax(m @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(cent.shape[0]):
+            mem = m[a == c]
+            if len(mem):
+                new[c] = mem.mean(axis=0)
+        cent = ann._normalize(new)
+    sc = m @ cent.T
+    a = np.argmax(sc, axis=1)
+    return a, sc[np.arange(len(a)), a]
+
+
+def test_kmeans_matches_numpy_on_one_block(ray_session):
+    """On a single-block layout the distributed fold order equals the
+    reference's, so assignments AND cosines must match bit-for-bit."""
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(300, 16))
+    df = pd.DataFrame({"vec_id": np.arange(300),
+                       "embedding": [v for v in vecs]})
+    out = (ann.kmeans_clusters(ray.data.from_pandas(df), n_clusters=5,
+                               n_iter=3, seed=7, train_max=300)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    a, cos = _numpy_lloyd(vecs, 5, 3, seed=7, train_max=300)
+    assert (out["cluster"].to_numpy() == a).all()
+    assert (out["cosine"].to_numpy() == cos).all()
+
+
+def test_kmeans_multiblock_deterministic_and_separates(ray_session):
+    """Multi-block layout: same-run determinism, every cluster non-trivial
+    on well-separated data, and the planted structure is recovered."""
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(4, 12)) * 6
+    vecs = np.concatenate([centers[i] + rng.normal(size=(50, 12)) * 0.1
+                           for i in range(4)])
+    truth = np.repeat(np.arange(4), 50)
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)})
+    ds = ray.data.from_pandas([df.iloc[i::3] for i in range(3)])
+    o1 = (ann.kmeans_clusters(ds, n_clusters=4, n_iter=4)
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    o2 = (ann.kmeans_clusters(ds, n_clusters=4, n_iter=4)
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(o1, o2, check_exact=True)
+    # each true group maps to exactly one predicted cluster and vice versa
+    m = pd.crosstab(truth, o1["cluster"].to_numpy())
+    assert (m.gt(0).sum(axis=1) == 1).all() and (m.gt(0).sum(axis=0) == 1).all()

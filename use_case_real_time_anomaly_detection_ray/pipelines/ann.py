@@ -422,14 +422,28 @@ def cosine_near_dup_pairs(
 # --------------------------------------------------------------------------
 
 def _train_centroids(sample: np.ndarray, n_centroids: int, seed: int,
-                     n_iter: int = 10) -> np.ndarray:
+                     n_iter: int = 10, init: str = "random") -> np.ndarray:
     """Seeded Lloyd iterations on a (small, driver-side) training sample of
-    normalized vectors — the IVF coarse quantizer. Deterministic."""
-    rng = np.random.default_rng(seed)
+    normalized vectors — the IVF coarse quantizer. Deterministic.
+
+    ``init="random"`` is the seeded draw the IVF recall pins were measured
+    with; ``init="farthest"`` is RNG-free greedy farthest-point traversal
+    (k-means++-flavored) — used by :func:`kmeans_clusters`, where a merged
+    pair of true clusters matters more than it does for probe lists."""
     sample = _normalize(sample)
     n = sample.shape[0]
     k = min(n_centroids, n)
-    cent = sample[rng.choice(n, size=k, replace=False)]
+    if init == "farthest":
+        idx = [0]
+        sims = sample @ sample[0]
+        for _ in range(k - 1):
+            nxt = int(np.argmin(sims))  # least similar to every chosen seed
+            idx.append(nxt)
+            sims = np.maximum(sims, sample @ sample[nxt])
+        cent = sample[idx].copy()
+    else:
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(n, size=k, replace=False)]
     for _ in range(n_iter):
         assign = np.argmax(sample @ _normalize(cent).T, axis=1)
         for c in range(k):
@@ -516,3 +530,104 @@ def ivf_topk(
     if not len(partials):
         return pd.DataFrame(columns=["query_id", "vec_id", "cosine"])
     return _merge_topk(partials, k)
+
+
+# --------------------------------------------------------------------------
+# distributed spherical k-means (embedding clustering for curation/balancing)
+# --------------------------------------------------------------------------
+
+def kmeans_clusters(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+    train_max: int = 10_000,
+) -> "ray.data.Dataset":
+    """Distributed spherical (cosine) k-means: (vec_id, cluster, cosine).
+
+    Initialization is the deterministic sample-trained Lloyd quantizer of
+    the IVF index (:func:`_train_centroids` — bounded driver sample).
+    Each refinement round broadcasts the k×d centroid matrix, assigns every
+    block's vectors by one matmul, and emits per-block (cluster, count,
+    vector-sum) partials — k rows per block regardless of block size; the
+    driver folds blocks×k rows into the next centroids (empty clusters keep
+    their previous position). The normalized working set is projected and
+    materialized ONCE, so refinement rounds re-read object-store blocks
+    instead of re-decoding parquet — the standard iterative-algorithm
+    trade; the final pass emits each vector's cluster and cosine.
+
+    Determinism: fixed seed, fixed iteration count, and a block-ordered
+    driver fold — same input layout → bit-identical output (pinned against
+    a single-process numpy Lloyd in pytest)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _normalize(_list_col_to_matrix(t[emb_col]))
+        d = m.shape[1] if m.size else 0
+        return pa.table({
+            id_col: t[id_col],
+            "_nvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), d) if m.size
+            else pa.array([], pa.list_(pa.float64())),
+        })
+
+    work = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    sample_tbl = work.limit(train_max).to_pandas()
+    sample = np.stack([np.asarray(e, np.float64) for e in sample_tbl["_nvec"]])
+    cent = _train_centroids(sample, n_clusters, seed, init="farthest")
+    k, d = cent.shape
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(t: pa.Table, cref=cref) -> pa.Table:
+            c = _fetch(cref)
+            m = _list_col_to_matrix(t["_nvec"])
+            if not m.size:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            assign = np.argmax(m @ c.T, axis=1)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, assign, m)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cluster": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[nz].ravel(), pa.float64()), d),
+            })
+
+        folded = work.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+        new_cent = cent.copy()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, d), np.float64)
+        for cl, n, vs in zip(folded["cluster"], folded["n"], folded["vsum"]):
+            counts[cl] += n
+            sums[cl] += np.asarray(vs, np.float64)
+        nz = counts > 0
+        new_cent[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new_cent)
+
+    cref = ray.put(cent)
+
+    def assign_block(t: pa.Table, cref=cref) -> pa.Table:
+        c = _fetch(cref)
+        m = _list_col_to_matrix(t["_nvec"])
+        if not m.size:
+            return pa.table({id_col: t[id_col],
+                             "cluster": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        scores = m @ c.T
+        a = np.argmax(scores, axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(a, pa.int64()),
+            "cosine": pa.array(scores[np.arange(len(a)), a], pa.float64()),
+        })
+
+    return work.map_batches(assign_block, batch_format="pyarrow")

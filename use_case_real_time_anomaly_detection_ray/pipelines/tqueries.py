@@ -489,6 +489,15 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_emb_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table: per-vector
+    (cluster, cosine-to-centroid). Rows-only by nature (iterative
+    refinement is not SQL-expressible); pinned in pytest against a
+    single-process numpy Lloyd run bit-for-bit on a one-block layout and
+    by inertia/determinism checks on multi-block layouts."""
+    return ann.kmeans_clusters(_embs(sf_dir), n_clusters=8, n_iter=4)
+
+
 def q_doc_distinct_hll(sf_dir: str):
     """Distinct-token cardinality estimate from the mergeable HyperLogLog
     sketch (p=14, ±0.81 % typical) — rows-only by nature (an estimator has
@@ -545,6 +554,7 @@ TEXT_QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "emb_kmeans": q_emb_kmeans,
     "media_decode_features": q_media_decode_features,
     "media_frame_sample": q_media_frame_sample,
 }
