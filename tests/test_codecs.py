@@ -231,6 +231,54 @@ def test_png_crc_and_unsupported_rejected(rng):
         C.decode_png(b"\x89PNG\r\n\x1a\n" + C._png_chunk(b"IHDR", ihdr_i))
 
 
+# --------------------------------------------------------------------- GIF
+
+@pytest.mark.parametrize("h,w", [(1, 1), (13, 7), (64, 65), (3, 253)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_exact(rng, h, w, interlace):
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    payload = C.encode_gif(img, interlace=interlace)
+    assert payload[:6] == b"GIF87a"
+    assert (C.decode_gif(payload) == img).all()
+
+
+def test_gif_dictionary_overflow_and_runs(rng):
+    """A 60k-pixel random image forces the 12-bit LZW dictionary past 4096
+    (CLEAR + reset mid-stream); a constant image exercises the KwKwK case."""
+    big = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert (C.decode_gif(C.encode_gif(big)) == big).all()
+    const = np.full((50, 50), 7, np.uint8)
+    assert (C.decode_gif(C.encode_gif(const)) == const).all()
+
+
+def test_gif_89a_extensions_and_local_palette(rng):
+    """Hand-built GIF89a: graphic-control extension block ahead of an image
+    with a LOCAL 4-entry color table — decoder must skip the extension and
+    prefer the local palette."""
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                   np.uint8)
+    lzw = C._lzw_encode(idx.ravel(), 2)
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no global table
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"         # graphic control ext
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x81)      # local table, 4
+        + pal.tobytes() + bytes([2])
+        + bytes([len(lzw)]) + lzw + b"\x00;"
+    )
+    p32 = pal.astype(np.uint32)
+    want = ((299 * p32[:, 0] + 587 * p32[:, 1] + 114 * p32[:, 2] + 500)
+            // 1000).astype(np.uint8)[idx]
+    assert (C.decode_gif(payload) == want).all()
+
+
+def test_gif_truncated_stream_rejected(rng):
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    payload = C.encode_gif(img)
+    with pytest.raises(ValueError):
+        C.decode_gif(payload[:40])
+
+
 # ----------------------------------------------------------------- sniffing
 
 def test_sniff_formats(rng):
@@ -240,6 +288,7 @@ def test_sniff_formats(rng):
     assert C.sniff_format(C.encode_wav(np.zeros(4, np.int16))) == "wav"
     assert C.sniff_format(C.encode_y4m(img[None])) == "y4m"
     assert C.sniff_format(b"\x89PNG\r\n\x1a\n....") == "png"
+    assert C.sniff_format(C.encode_gif(img)) == "gif"
     assert C.sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
     assert C.sniff_format(b"\x00\x00\x00\x18ftypmp42") == "mp4"
     assert C.sniff_format(b"ID3\x04rest") == "mp3"

@@ -508,13 +508,14 @@ def q_doc_distinct_hll(sf_dir: str):
 
 def q_media_decode_features(sf_dir: str):
     """Multimodal decode through the driver surface: deterministic synthetic
-    assets in REAL public formats (BMP and PNG images, PCM16 WAV audio, Y4M
-    video, cycled per row) → fixed-pool :class:`RealDecoder` stage →
-    per-asset value features. The decoders are spec-conformant pure
-    numpy/stdlib (``stages/codecs.py``, byte-exact round-trip-tested); PNG
-    is a real compressed codec (stdlib zlib DEFLATE + all five scanline
-    filters); only codecs with no stdlib decompressor (JPEG/MP4) remain
-    gated behind ``NotImplementedError``."""
+    assets in REAL public formats (BMP, PNG and GIF images, PCM16 WAV
+    audio, Y4M video, cycled per row) → fixed-pool :class:`RealDecoder`
+    stage → per-asset value features. The decoders are spec-conformant
+    pure numpy/stdlib (``stages/codecs.py``, byte-exact round-trip-
+    tested); PNG and GIF are real compressed codecs (stdlib-zlib DEFLATE
+    with all five scanline filters; variable-width LSB-first LZW); only
+    codecs with no stdlib decompressor (JPEG/MP4) remain gated behind
+    ``NotImplementedError``."""
     from ..stages.multimodal import decode_features, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(n=64, seed=42, fmt="mixed"))

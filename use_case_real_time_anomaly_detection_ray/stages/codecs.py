@@ -15,6 +15,11 @@ implementable without any image/audio library:
   :mod:`zlib`, so this is a real compressed-codec path with no external
   library. Adam7 interlacing and 1/2/4/16-bit depths raise.
 
+- **GIF** (GIF87a/89a): variable-width LSB-first LZW with dictionary
+  reset, global/local color tables, Adam-style 4-pass interlacing,
+  extension-block skipping — a second real compressed codec in pure
+  python/numpy (LZW needs no external decompressor at all).
+
 Remaining compressed formats (JPEG/MP3/MP4/...) genuinely need external
 codec libraries that are not in this container; :func:`sniff_format`
 classifies them so callers can raise an explicit ``NotImplementedError``
@@ -38,7 +43,6 @@ import numpy as np
 #: magic -> format name for compressed formats we explicitly do NOT decode
 _COMPRESSED_MAGIC = (
     (b"\xff\xd8\xff", "jpeg"),
-    (b"GIF8", "gif"),
     (b"ID3", "mp3"),
     (b"\xff\xfb", "mp3"),
     (b"OggS", "ogg"),
@@ -49,12 +53,14 @@ _COMPRESSED_MAGIC = (
 def sniff_format(payload: bytes) -> str:
     """Classify a payload by magic bytes.
 
-    Returns one of ``bmp pgm wav y4m png`` (decodable here), a
+    Returns one of ``bmp pgm wav y4m png gif`` (decodable here), a
     compressed-format name (``jpeg mp4 ...`` — NOT decodable here), or
     ``unknown``.
     """
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:4] == b"GIF8":
+        return "gif"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P5":
@@ -482,3 +488,223 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 4:   # gray + alpha: keep the gray sample
         return recon.reshape(height, width, 2)[..., 0].copy()
     return _rgb_to_gray(recon.reshape(height, width, 4)[..., :3])
+
+
+# --------------------------------------------------------------------------
+# GIF — GIF87a/89a; variable-width LSB-first LZW (Welch 1984), pure python
+# --------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit ceiling per spec
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width, LSB-first bit packing, CLEAR
+    emitted up front and on dictionary overflow, EOI at the end."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = -1
+    for px in indices.tolist():
+        if prev < 0:
+            prev = px
+            continue
+        key = (prev, px)
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            width += 1
+        if next_code >= _GIF_MAX_CODE:
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = px
+    if prev >= 0:
+        emit(prev, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode`; stops after ``expected`` pixels or
+    EOI. Prefix-linked dictionary with stack unwinding — O(pixels) total."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    prefix = [0] * _GIF_MAX_CODE
+    suffix = [0] * _GIF_MAX_CODE
+    first = [0] * _GIF_MAX_CODE  # first pixel of each code's expansion
+    for c in range(clear):
+        suffix[c] = first[c] = c
+    out = np.empty(expected, np.uint8)
+    n_out = 0
+    width = min_code_size + 1
+    next_code = eoi + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = -1
+    stack: list[int] = []
+    while n_out < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code after CLEAR not literal")
+            out[n_out] = code
+            n_out += 1
+            prev = code
+            continue
+        if code < next_code:
+            cur = code
+        elif code == next_code:
+            cur = prev           # the KwKwK special case
+            stack.append(first[prev])
+        else:
+            raise ValueError("GIF LZW: code beyond dictionary")
+        while cur >= clear:
+            stack.append(suffix[cur])
+            cur = prefix[cur]
+        stack.append(cur)
+        fst = cur
+        take = min(len(stack), expected - n_out)
+        for i in range(take):
+            out[n_out + i] = stack[-1 - i]
+        n_out += take
+        stack.clear()
+        if next_code < _GIF_MAX_CODE:
+            prefix[next_code] = prev
+            suffix[next_code] = fst
+            first[next_code] = fst
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if n_out != expected:
+        raise ValueError(f"GIF LZW produced {n_out} pixels, want {expected}")
+    return out
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (h, w) uint8 grayscale as GIF87a with a 256-entry grayscale
+    global color table (identity palette, so decode is byte-exact)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"encode_gif wants (h, w) grayscale, got {img.shape}")
+    h, w = img.shape
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    rows = _gif_interlace_order(h) if interlace else np.arange(h)
+    lzw = _lzw_encode(img[rows].ravel(), 8)
+    parts = [
+        b"GIF87a",
+        struct.pack("<HHBBB", w, h, 0xF7, 0, 0),  # global table, 256 entries
+        pal.tobytes(),
+        struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                    0x40 if interlace else 0x00),
+        bytes([8]),  # LZW min code size
+    ]
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        parts.append(bytes([len(chunk)]) + chunk)
+    parts.append(b"\x00;")  # block terminator + trailer
+    return b"".join(parts)
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row storage order for the four GIF interlace passes."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/89a stream to (h, w) uint8
+    grayscale (palette entries reduce via the shared integer Rec.601 luma).
+    Handles global/local color tables, interlacing, and skips extension
+    blocks (89a graphic-control/comment/application)."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(payload, np.uint8, count=n * 3,
+                                   offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = global_pal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, count=n * 3,
+                                    offset=pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+            if iflags & 0x40:
+                rows = np.empty(h, np.int64)
+                rows[_gif_interlace_order(h)] = np.arange(h)
+                idx = idx[rows]
+            p32 = pal.astype(np.uint32)
+            luma = ((299 * p32[:, 0] + 587 * p32[:, 1] + 114 * p32[:, 2]
+                     + 500) // 1000).astype(np.uint8)
+            return luma[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF stream contains no image")

@@ -52,26 +52,27 @@ def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image",
     """Deterministic asset table for tests/benchmarks.
 
     ``fmt="fake"`` keeps the legacy raw-bytes payloads (for
-    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "png", "wav", "y4m"}``
-    encodes REAL format bytes (``media_type`` is then implied by the
-    format); ``fmt="mixed"`` cycles bmp/wav/y4m/png per row."""
+    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "png", "gif", "wav",
+    "y4m"}`` encodes REAL format bytes (``media_type`` is then implied by
+    the format); ``fmt="mixed"`` cycles bmp/wav/y4m/png/gif per row."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        row_fmt = fmt if fmt != "mixed" else ("bmp", "wav", "y4m", "png")[i % 4]
+        row_fmt = fmt if fmt != "mixed" else (
+            "bmp", "wav", "y4m", "png", "gif")[i % 5]
         width, height = int(rng.integers(8, 64)), int(rng.integers(8, 64))
         if row_fmt == "fake":
             frames = 1 if media_type == "image" else int(rng.integers(2, 10))
             payload = rng.integers(0, 256, size=width * height,
                                    dtype=np.uint8).tobytes()
             rows.append((media_type, "fake", width, height, frames, payload))
-        elif row_fmt in ("bmp", "pgm", "png"):
+        elif row_fmt in ("bmp", "pgm", "png", "gif"):
             # smooth gradient + noise so the adaptive PNG filter chooser
             # actually picks different filters across rows
             img = (rng.integers(0, 128, size=(height, width), dtype=np.uint8)
                    + (np.arange(height, dtype=np.uint8)[:, None] % 128))
             enc = {"bmp": codecs.encode_bmp, "pgm": codecs.encode_pgm,
-                   "png": codecs.encode_png}[row_fmt]
+                   "png": codecs.encode_png, "gif": codecs.encode_gif}[row_fmt]
             rows.append(("image", row_fmt, width, height, 1, enc(img)))
         elif row_fmt == "wav":
             n_samp = int(rng.integers(500, 2000))
@@ -138,6 +139,8 @@ class RealDecoder:
             return codecs.decode_pgm(payload)
         if kind == "png":
             return codecs.decode_png(payload)
+        if kind == "gif":
+            return codecs.decode_gif(payload)
         if kind == "wav":
             return codecs.decode_wav(payload)[1]
         if kind == "y4m":
