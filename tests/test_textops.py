@@ -771,11 +771,15 @@ def _numpy_lloyd(vecs, k, n_iter, seed, train_max):
     cent = ann._train_centroids(m[:train_max].copy(), k, seed, init="farthest")
     for _ in range(n_iter):
         a = np.argmax(m @ cent.T, axis=1)
+        # sequential np.add.at accumulation — the operator's exact sum order
+        # (np.mean's pairwise reduction diverges in the last ulp at >=128
+        # members, which would break the bit-for-bit pin spuriously)
+        counts = np.bincount(a, minlength=cent.shape[0])
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, m)
         new = cent.copy()
-        for c in range(cent.shape[0]):
-            mem = m[a == c]
-            if len(mem):
-                new[c] = mem.mean(axis=0)
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
         cent = ann._normalize(new)
     sc = m @ cent.T
     a = np.argmax(sc, axis=1)
@@ -806,7 +810,8 @@ def test_kmeans_multiblock_deterministic_and_separates(ray_session):
                            for i in range(4)])
     truth = np.repeat(np.arange(4), 50)
     df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)})
-    ds = ray.data.from_pandas([df.iloc[i::3] for i in range(3)])
+    ds = ray.data.from_pandas([df.iloc[i::3] for i in range(3)]
+                              + [df.iloc[0:0]])  # empty block must not crash
     o1 = (ann.kmeans_clusters(ds, n_clusters=4, n_iter=4)
           .to_pandas().sort_values("vec_id").reset_index(drop=True))
     o2 = (ann.kmeans_clusters(ds, n_clusters=4, n_iter=4)

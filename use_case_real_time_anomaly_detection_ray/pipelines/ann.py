@@ -562,33 +562,41 @@ def kmeans_clusters(
     driver fold — same input layout → bit-identical output (pinned against
     a single-process numpy Lloyd in pytest)."""
 
+    # probe the embedding width once so every stage (including empty blocks)
+    # emits the same FixedSizeList schema
+    probe = ds.limit(1).to_pandas()
+    if len(probe) == 0:
+        raise ValueError("kmeans_clusters: empty embeddings dataset")
+    d = len(np.asarray(probe[emb_col].iloc[0]))
+
+    def _nvec_array(m: np.ndarray) -> pa.FixedSizeListArray:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), d)
+
     def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "_nvec": _nvec_array(np.empty((0, d)))})
         m = _normalize(_list_col_to_matrix(t[emb_col]))
-        d = m.shape[1] if m.size else 0
-        return pa.table({
-            id_col: t[id_col],
-            "_nvec": pa.FixedSizeListArray.from_arrays(
-                pa.array(m.ravel(), pa.float64()), d) if m.size
-            else pa.array([], pa.list_(pa.float64())),
-        })
+        return pa.table({id_col: t[id_col], "_nvec": _nvec_array(m)})
 
     work = ds.map_batches(project, batch_format="pyarrow").materialize()
 
     sample_tbl = work.limit(train_max).to_pandas()
     sample = np.stack([np.asarray(e, np.float64) for e in sample_tbl["_nvec"]])
     cent = _train_centroids(sample, n_clusters, seed, init="farthest")
-    k, d = cent.shape
+    k = cent.shape[0]
 
     for _ in range(n_iter):
         cref = ray.put(cent)
 
         def partial(t: pa.Table, cref=cref) -> pa.Table:
             c = _fetch(cref)
-            m = _list_col_to_matrix(t["_nvec"])
-            if not m.size:
+            if t.num_rows == 0:
                 return pa.table({"cluster": pa.array([], pa.int64()),
                                  "n": pa.array([], pa.int64()),
-                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+                                 "vsum": _nvec_array(np.empty((0, d)))})
+            m = _list_col_to_matrix(t["_nvec"])
             assign = np.argmax(m @ c.T, axis=1)
             counts = np.bincount(assign, minlength=k)
             sums = np.zeros((k, d), np.float64)
@@ -597,8 +605,7 @@ def kmeans_clusters(
             return pa.table({
                 "cluster": pa.array(nz, pa.int64()),
                 "n": pa.array(counts[nz], pa.int64()),
-                "vsum": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sums[nz].ravel(), pa.float64()), d),
+                "vsum": _nvec_array(sums[nz]),
             })
 
         folded = work.map_batches(partial, batch_format="pyarrow",
@@ -617,11 +624,11 @@ def kmeans_clusters(
 
     def assign_block(t: pa.Table, cref=cref) -> pa.Table:
         c = _fetch(cref)
-        m = _list_col_to_matrix(t["_nvec"])
-        if not m.size:
+        if t.num_rows == 0:
             return pa.table({id_col: t[id_col],
                              "cluster": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
+        m = _list_col_to_matrix(t["_nvec"])
         scores = m @ c.T
         a = np.argmax(scores, axis=1)
         return pa.table({

@@ -1327,7 +1327,7 @@ def bm25_topk(
 ) -> pd.DataFrame:
     """Okapi BM25 top-``k`` documents for a fixed query string.
 
-    ``score(d) = Σ_t round6(idf(t) · tf·2.2 / (tf + k1·(1−b+b·dl/avgdl)))``
+    ``score(d) = Σ_t round6(idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))``
     with the Lucene-style always-positive ``idf = ln((N−df+0.5)/(df+0.5)+1)``.
     Each term's contribution is rounded half-up to 1e-6 BEFORE the sum —
     the real-arithmetic sum of 1e-6 multiples is itself on the 1e-6 grid,
@@ -1386,7 +1386,9 @@ def bm25_topk(
                 tf = c.get(term)
                 if not tf:
                     continue
-                contrib = (idf[term] * tf * 2.2
+                # (k1 + 1.0) == the oracle's literal 2.2 bitwise at the
+                # default k1=1.2, and honors non-default k1 everywhere
+                contrib = (idf[term] * tf * (k1 + 1.0)
                            / (tf + k1 * (1 - b + b * dl / avgdl)))
                 s += np.floor(contrib * 1e6 + 0.5) / 1e6
             ids_out.append(did)

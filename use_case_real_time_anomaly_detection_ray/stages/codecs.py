@@ -440,6 +440,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat: list[bytes] = []
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("PNG stream truncated mid-chunk")
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -468,7 +470,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG missing IHDR")
     bpp = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    if not idat:
+        raise ValueError("PNG stream has no IDAT data")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG DEFLATE stream corrupt: {e}") from e
     stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError(
@@ -484,7 +491,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        return _rgb_to_gray(palette[recon])
+        return _rgb_to_gray(palette)[recon]  # luma on ≤256 entries, not h×w
     if color_type == 4:   # gray + alpha: keep the gray sample
         return recon.reshape(height, width, 2)[..., 0].copy()
     return _rgb_to_gray(recon.reshape(height, width, 4)[..., :3])
@@ -659,6 +666,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     blocks (89a graphic-control/comment/application)."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF stream truncated in screen descriptor")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     global_pal = None
@@ -672,10 +681,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF stream truncated in extension blocks")
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("GIF stream truncated in image descriptor")
             _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             pal = global_pal
@@ -686,23 +699,24 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += n * 3
             if pal is None:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF stream truncated before image data")
             min_code = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 ln = payload[pos]
                 data += payload[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF stream truncated in image data blocks")
             pos += 1
             idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
             if iflags & 0x40:
                 rows = np.empty(h, np.int64)
                 rows[_gif_interlace_order(h)] = np.arange(h)
                 idx = idx[rows]
-            p32 = pal.astype(np.uint32)
-            luma = ((299 * p32[:, 0] + 587 * p32[:, 1] + 114 * p32[:, 2]
-                     + 500) // 1000).astype(np.uint8)
-            return luma[idx]
+            return _rgb_to_gray(pal)[idx]
         elif block == 0x3B:  # trailer
             break
         else:

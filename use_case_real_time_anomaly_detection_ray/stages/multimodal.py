@@ -148,7 +148,7 @@ class RealDecoder:
         raise NotImplementedError(
             f"payload sniffs as {kind!r}: this codec needs an external "
             "library (PIL.Image.open / soundfile.read / av.open) not present "
-            "in this container; re-encode as png/bmp/pgm/wav/y4m or use "
+            "in this container; re-encode as png/gif/bmp/pgm/wav/y4m or use "
             "decoder='fake' for plumbing tests"
         )
 
