@@ -820,3 +820,44 @@ def test_kmeans_multiblock_deterministic_and_separates(ray_session):
     # each true group maps to exactly one predicted cluster and vice versa
     m = pd.crosstab(truth, o1["cluster"].to_numpy())
     assert (m.gt(0).sum(axis=1) == 1).all() and (m.gt(0).sum(axis=0) == 1).all()
+
+
+def test_redact_pii_planted(ray_session):
+    """Planted emails/IPs/phones/secrets: engine output equals both a
+    direct python re.subn reference AND the DuckDB oracle SQL run over the
+    same rows (patterns are RE2-compatible by construction), with correct
+    per-category counts and sequential-application semantics."""
+    import duckdb
+    import re as _re
+
+    from use_case_real_time_anomaly_detection_ray.pipelines import tqueries
+
+    docs = [
+        "contact bob@example.com or alice@sub.domain.org today",
+        "server 10.0.0.1 and 192.168.255.255 up",
+        "call +4915112345678 now",
+        "key deadbeefdeadbeefdeadbeefdeadbeef leaked",
+        "mixed x@y.io at 8.8.8.8 call +1234567 key " + "a1" * 16,
+        "clean document with no pii at all",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = (textops.redact_pii(ray.data.from_pandas(df), concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # python reference with the same sequential semantics
+    for i, txt in enumerate(docs):
+        for name, pat, repl in textops.REDACT_PATTERNS:
+            txt, n = _re.subn(pat, repl, txt)
+            assert out.loc[i, f"n_{name}"] == n, (i, name)
+        assert out.loc[i, "text_redacted"] == txt
+    assert out.loc[0, "n_email"] == 2 and "<EMAIL>" in out.loc[0, "text_redacted"]
+    assert out.loc[1, "n_ip"] == 2
+    assert out.loc[4, ["n_email", "n_ip", "n_phone", "n_secret"]].tolist() == [1, 1, 1, 1]
+    # DuckDB oracle on the planted rows (RE2 side of the parity claim)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(tqueries.SQL_DOC_REDACT).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out, want.astype({c: "int64" for c in want.columns if c.startswith("n_")}),
+        check_exact=True)

@@ -1316,6 +1316,68 @@ def heavy_hitters(
                             kind="mergesort").reset_index(drop=True))
 
 
+#: (name, pattern, replacement) — RE2-compatible (ASCII classes, no
+#: backrefs) so the DuckDB oracle's regexp_replace agrees byte-for-byte;
+#: applied IN ORDER (an email is redacted before its host could match a
+#: later pattern).
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}\b", "<PHONE>"),
+    ("secret", r"\b[0-9a-f]{32,64}\b", "<SECRET>"),
+)
+
+
+class RedactStage:
+    """Actor-pool PII scrub: compile the pattern set ONCE per actor
+    (``__init__``), stream batches through ``__call__``. Emits the redacted
+    text plus a per-category match count so downstream filters can drop or
+    audit PII-heavy documents."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        import re
+
+        self.id_col = id_col
+        self.text_col = text_col
+        self.compiled = [(name, re.compile(pat), repl)
+                         for name, pat, repl in REDACT_PATTERNS]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        counts = {name: np.zeros(len(texts), np.int64)
+                  for name, _, _ in self.compiled}
+        out_texts = []
+        for i, txt in enumerate(texts):
+            for name, rx, repl in self.compiled:
+                txt, n = rx.subn(repl, txt)
+                counts[name][i] = n
+            out_texts.append(txt)
+        cols = {self.id_col: t[self.id_col],
+                "text_redacted": pa.array(out_texts, pa.string())}
+        for name, _, _ in self.compiled:
+            cols[f"n_{name}"] = pa.array(counts[name], pa.int64())
+        return pa.table(cols)
+
+
+def redact_pii(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 2,
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """PII redaction as a stateful map-only stage (no shuffle): emails,
+    IPv4s, E.164-ish phone numbers and long hex secrets replaced with
+    typed placeholders, with per-doc match counts. Patterns are
+    RE2-compatible, so the DuckDB oracle reproduces the output
+    byte-for-byte."""
+    return ds.map_batches(
+        RedactStage, fn_constructor_args=(id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def bm25_topk(
     ds: "ray.data.Dataset",
     query: str,

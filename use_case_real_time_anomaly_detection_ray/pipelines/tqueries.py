@@ -498,6 +498,40 @@ def q_emb_kmeans(sf_dir: str):
     return ann.kmeans_clusters(_embs(sf_dir), n_clusters=8, n_iter=4)
 
 
+def q_doc_redact(sf_dir: str):
+    """PII scrub (emails/IPv4/phones/hex secrets → typed placeholders) as a
+    compiled-regex actor-pool stage; per-doc category counts ride along.
+    RE2-compatible patterns make the DuckDB regexp_replace oracle agree
+    byte-for-byte."""
+    return textops.redact_pii(_docs(sf_dir))
+
+
+def _redact_sql() -> str:
+    """Nested-SELECT transcription of the redaction pass: one layer per
+    pattern, each counting on the SAME intermediate the engine counts on
+    (category i sees the text after categories < i replaced)."""
+    from .textops import REDACT_PATTERNS
+
+    sql = "SELECT doc_id, text FROM documents"
+    for i, (name, pat, repl) in enumerate(REDACT_PATTERNS):
+        # standard-SQL string literals: only quotes escape; backslashes in
+        # the pattern pass through verbatim to RE2
+        esc = pat.replace("'", "''")
+        prev_counts = ", ".join(
+            f"n_{REDACT_PATTERNS[j][0]}" for j in range(i))
+        prev = (prev_counts + ", ") if prev_counts else ""
+        sql = (f"SELECT doc_id, {prev}"
+               f"len(regexp_extract_all(text, '{esc}')) AS n_{name}, "
+               f"regexp_replace(text, '{esc}', '{repl}', 'g') AS text "
+               f"FROM ({sql})")
+    all_counts = ", ".join(f"n_{name}" for name, _, _ in REDACT_PATTERNS)
+    return (f"SELECT doc_id, text AS text_redacted, {all_counts} "
+            f"FROM ({sql})")
+
+
+SQL_DOC_REDACT = _redact_sql()
+
+
 def q_doc_distinct_hll(sf_dir: str):
     """Distinct-token cardinality estimate from the mergeable HyperLogLog
     sketch (p=14, ±0.81 % typical) — rows-only by nature (an estimator has
@@ -548,6 +582,7 @@ TEXT_QUERIES = {
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_redact": q_doc_redact,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     # rows-only (no SQL-expressible oracle; exact pytest self-oracles):
     "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -569,6 +604,7 @@ TEXT_ORACLE = {
     "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
     "doc_heavy_tokens": SQL_DOC_HEAVY_TOKENS,
     "doc_bm25_topk": SQL_DOC_BM25_TOPK,
+    "doc_redact": SQL_DOC_REDACT,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
