@@ -861,3 +861,39 @@ def test_redact_pii_planted(ray_session):
     pd.testing.assert_frame_equal(
         out, want.astype({c: "int64" for c in want.columns if c.startswith("n_")}),
         check_exact=True)
+
+
+def test_pack_chunks_reference_and_invariants(ray_session):
+    """Packing vs a brute-force reference; layout-independence; and the
+    interval-packing capacity property: every chunk's token total is
+    < budget + its last doc's length (overflow by at most one doc)."""
+    rng = np.random.default_rng(12)
+    docs = [" ".join(f"w{j}" for j in range(rng.integers(1, 60)))
+            for _ in range(120)]
+    df = pd.DataFrame({"doc_id": rng.permutation(3 * 120)[:120],
+                       "text": docs})
+    budget, nb = 64, 4
+    got = (textops.pack_chunks(_ds(df), budget=budget, num_buckets=nb)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force
+    ref_rows = []
+    tdf = df.assign(n=[len(t.split()) for t in df["text"]],
+                    bucket=df["doc_id"] % nb).sort_values(["bucket", "doc_id"])
+    for b, g in tdf.groupby("bucket"):
+        off = 0
+        for r in g.itertuples():
+            ref_rows.append((r.doc_id, b, r.n, off, off // budget))
+            off += r.n
+    want = (pd.DataFrame(ref_rows, columns=["doc_id", "bucket", "n_tokens",
+                                            "token_offset", "chunk_seq"])
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # block layout must not matter (assignment is keyed on doc_id % nb)
+    ds7 = ray.data.from_pandas([df.iloc[i::7] for i in range(7)])
+    got7 = (textops.pack_chunks(ds7, budget=budget, num_buckets=nb)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got7, got, check_exact=True)
+    # capacity property
+    for (_b, _c), g in got.groupby(["bucket", "chunk_seq"]):
+        last = g.sort_values("token_offset").iloc[-1]
+        assert g["n_tokens"].sum() < budget + last["n_tokens"]

@@ -1316,6 +1316,66 @@ def heavy_hitters(
                             kind="mergesort").reset_index(drop=True))
 
 
+def pack_chunks(
+    ds: "ray.data.Dataset",
+    budget: int = 512,
+    num_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Token-budget sequence packing: assign each document to a training
+    chunk of ~``budget`` tokens.
+
+    Semantics (contiguous token-interval packing): within each bucket
+    (``doc_id % num_buckets`` — an explicit modulo, NOT the internal
+    Fibonacci hash, so the assignment is SQL-expressible and
+    layout-independent), documents order by id; a document belongs to
+    chunk ``floor(exclusive_cumsum(n_tokens) / budget)`` — the chunk its
+    first token lands in. A document spanning a boundary stays in the
+    chunk where it starts (the trainer's continue/truncate decision, not
+    the packer's), so chunks can overflow by at most one document.
+
+    Scale shape: only (doc_id, n_tokens) pairs shuffle — the text column
+    never moves; the within-bucket pass is one argsort + cumsum. Output:
+    (doc_id, bucket, n_tokens, token_offset, chunk_seq), all integers —
+    the DuckDB oracle matches bitwise.
+    """
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = [T.token_count(x) for x in t[text_col].to_pylist()]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "bucket": pa.array(ids % num_buckets, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    parts = ds.map_batches(tok_rows, batch_format="pyarrow",
+                           batch_size=None)
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
+        ids, buckets, n = ids[order], buckets[order], n[order]
+        cum = np.cumsum(n) - n  # exclusive prefix sum over the whole bucket
+        # restart offsets at each bucket boundary within this merge group
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        off = cum - np.repeat(cum[starts], np.diff(np.r_[starts, len(cum)]))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "token_offset": pa.array(off, pa.int64()),
+            "chunk_seq": pa.array(off // budget, pa.int64()),
+        })
+
+    from ..stages.reduce import bucketed_merge_arrow
+
+    return bucketed_merge_arrow(parts, ["bucket"], pack, num_buckets)
+
+
 #: (name, pattern, replacement) — RE2-compatible (ASCII classes, no
 #: backrefs) so the DuckDB oracle's regexp_replace agrees byte-for-byte;
 #: applied IN ORDER (an email is redacted before its host could match a

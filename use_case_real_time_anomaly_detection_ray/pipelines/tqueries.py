@@ -498,6 +498,34 @@ def q_emb_kmeans(sf_dir: str):
     return ann.kmeans_clusters(_embs(sf_dir), n_clusters=8, n_iter=4)
 
 
+def q_doc_pack_chunks(sf_dir: str):
+    """Token-budget sequence packing (budget 512, 16 modulo-buckets):
+    every doc assigned to the training chunk its first token lands in.
+    Only (doc_id, n_tokens) pairs shuffle — text never moves; all-integer
+    output so the SQL window-function oracle matches bitwise."""
+    return textops.pack_chunks(_docs(sf_dir), budget=512, num_buckets=16)
+
+
+SQL_DOC_PACK_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, doc_id % 16 AS bucket,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         -- SUM(BIGINT) is HUGEINT in DuckDB; the engine emits int64
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS token_offset
+  FROM t)
+SELECT doc_id, bucket, n_tokens, token_offset,
+       token_offset // 512 AS chunk_seq
+FROM c ORDER BY bucket, doc_id
+"""
+
+
 def q_doc_redact(sf_dir: str):
     """PII scrub (emails/IPv4/phones/hex secrets → typed placeholders) as a
     compiled-regex actor-pool stage; per-doc category counts ride along.
@@ -583,6 +611,7 @@ TEXT_QUERIES = {
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_redact": q_doc_redact,
+    "doc_pack_chunks": q_doc_pack_chunks,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     # rows-only (no SQL-expressible oracle; exact pytest self-oracles):
     "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -605,6 +634,7 @@ TEXT_ORACLE = {
     "doc_heavy_tokens": SQL_DOC_HEAVY_TOKENS,
     "doc_bm25_topk": SQL_DOC_BM25_TOPK,
     "doc_redact": SQL_DOC_REDACT,
+    "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
