@@ -897,3 +897,28 @@ def test_pack_chunks_reference_and_invariants(ray_session):
     for (_b, _c), g in got.groupby(["bucket", "chunk_seq"]):
         last = g.sort_values("token_offset").iloc[-1]
         assert g["n_tokens"].sum() < budget + last["n_tokens"]
+
+
+def test_contamination_check_planted(ray_session):
+    """Planted benchmark overlap: a doc embedding a benchmark passage is
+    flagged with the right overlap count; clean docs are not; short and
+    empty docs follow the <k-gram collapse semantics."""
+    bench = ["the quick brown fox jumps over the lazy dog"]
+    docs = [
+        "totally unrelated text about engines and parquet blocks here",
+        "prefix words then the quick brown fox jumps over something else",
+        "the quick brown fox jumps over the lazy dog verbatim copy",
+        "quick brown",   # < k words: single joined gram, not in benchmark
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = (textops.contamination_check(ray.data.from_pandas(df), bench, k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["contaminated"].tolist() == [False, True, True, False, False]
+    # exact overlap counts vs a python reference
+    bset = T.word_ngrams_str(bench[0], 3)
+    for i, txt in enumerate(docs):
+        sh = T.word_ngrams_str(txt, 3)
+        assert out.loc[i, "n_overlap"] == len(sh & bset)
+        assert out.loc[i, "n_shingles"] == len(sh)
+    assert out.loc[4, "n_shingles"] == 0  # empty doc has no grams

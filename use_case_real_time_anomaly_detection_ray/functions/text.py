@@ -77,6 +77,20 @@ def _word_h32(word: str) -> int:
 _SHINGLE_P = np.uint64(1_000_003)
 
 
+def word_ngrams_str(text: str, k: int = 3) -> set[str]:
+    """Distinct lowercased word k-grams as SPACE-JOINED STRINGS — the exact
+    semantics of the SQL oracles' shingle CTE (docs shorter than ``k``
+    words collapse to one joined gram; empty docs have none). Use where
+    engine/oracle parity matters more than hashing speed (contamination
+    checks); :func:`word_shingles` is the hashed fast path for MinHash."""
+    w = words(text.lower())
+    if not w:
+        return set()
+    if len(w) < k:
+        return {" ".join(w)}
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
     """Hashed word k-shingles as SORTED unique uint64 values < 2^31 (the
     Mersenne-31 universal-hash domain). The shingle hash is a polynomial

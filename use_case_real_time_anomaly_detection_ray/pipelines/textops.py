@@ -1316,6 +1316,45 @@ def heavy_hitters(
                             kind="mergesort").reset_index(drop=True))
 
 
+def contamination_check(
+    ds: "ray.data.Dataset",
+    benchmark_texts: "list[str]",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``k``-gram with a benchmark/eval set.
+
+    The benchmark is small by nature (an eval set, not a corpus): its
+    distinct k-grams build driver-side and broadcast via ``ray.put``; the
+    scan is map-only — per doc, count the intersection of its distinct
+    k-grams with the benchmark set. Grams are lowercased space-joined
+    STRINGS (:func:`functions.text.word_ngrams_str`), the exact semantics
+    of the SQL oracles' shingle CTE, so the DuckDB twin matches bitwise.
+    Output: (doc_id, n_overlap, n_shingles, contaminated)."""
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench.update(T.word_ngrams_str(t, k))
+    ref = ray.put(frozenset(bench))
+
+    def scan(t: pa.Table) -> pa.Table:
+        b = _fetch(ref)
+        n_ov, n_sh = [], []
+        for txt in t[text_col].to_pylist():
+            sh = T.word_ngrams_str(txt, k)
+            n_ov.append(len(sh & b))
+            n_sh.append(len(sh))
+        return pa.table({
+            id_col: t[id_col],
+            "n_overlap": pa.array(n_ov, pa.int64()),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "contaminated": pa.array([x > 0 for x in n_ov], pa.bool_()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def pack_chunks(
     ds: "ray.data.Dataset",
     budget: int = 512,

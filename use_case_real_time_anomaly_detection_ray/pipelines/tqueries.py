@@ -498,6 +498,44 @@ def q_emb_kmeans(sf_dir: str):
     return ann.kmeans_clusters(_embs(sf_dir), n_clusters=8, n_iter=4)
 
 
+def q_doc_contamination(sf_dir: str):
+    """Decontamination scan: the 'benchmark' is the two lowest-id docs
+    (picked identically in SQL, so the query is self-contained); every doc
+    sharing a word 3-gram with them is flagged with its overlap count."""
+    import pyarrow.compute as _pc
+
+    from ..stages.reduce import to_arrow_single
+
+    bench_tbl = to_arrow_single(_docs(sf_dir).map_batches(
+        lambda t: t.filter(_pc.less(t["doc_id"], 2)),
+        batch_format="pyarrow"))
+    bench = bench_tbl["text"].to_pylist()
+    return textops.contamination_check(_docs(sf_dir), bench, k=3)
+
+
+SQL_DOC_CONTAMINATION = """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE []::VARCHAR[] END AS sh
+  FROM w),
+bench AS (
+  SELECT list_distinct(flatten(list(sh))) AS bsh FROM s WHERE doc_id < 2)
+SELECT doc_id,
+       len(list_intersect(sh, bench.bsh)) AS n_overlap,
+       len(sh) AS n_shingles,
+       len(list_intersect(sh, bench.bsh)) > 0 AS contaminated
+FROM s CROSS JOIN bench
+"""
+
+
 def q_doc_pack_chunks(sf_dir: str):
     """Token-budget sequence packing (budget 512, 16 modulo-buckets):
     every doc assigned to the training chunk its first token lands in.
@@ -612,6 +650,7 @@ TEXT_QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_redact": q_doc_redact,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "doc_contamination": q_doc_contamination,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     # rows-only (no SQL-expressible oracle; exact pytest self-oracles):
     "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -635,6 +674,7 @@ TEXT_ORACLE = {
     "doc_bm25_topk": SQL_DOC_BM25_TOPK,
     "doc_redact": SQL_DOC_REDACT,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
+    "doc_contamination": SQL_DOC_CONTAMINATION,
     "doc_ngram_dup_pairs": SQL_DOC_NGRAM_DUP_PAIRS,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
