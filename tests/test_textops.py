@@ -922,3 +922,41 @@ def test_contamination_check_planted(ray_session):
         assert out.loc[i, "n_overlap"] == len(sh & bset)
         assert out.loc[i, "n_shingles"] == len(sh)
     assert out.loc[4, "n_shingles"] == 0  # empty doc has no grams
+
+
+def test_curate_cli_dual_partitioned_sinks(ray_session, tmp_path, capsys):
+    """The curate subcommand: PII redacted, quality-gated, chunk-assigned,
+    written as two bucket-co-partitioned parquet trees (docs + chunks) that
+    join completely on (doc_id, bucket)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_ray.__main__ import main
+
+    rng = np.random.default_rng(8)
+    vocab = ["the", "cat", "sat", "on", "a", "mat", "for", "it", "was", "ok"]
+    docs = [" ".join(vocab[j] for j in rng.integers(0, 10, 30))
+            for _ in range(60)]
+    docs[3] += " mail bob@example.com"
+    docs[7] = "x"  # quality 0.5 at best: fails the 0.75 gate below
+    src = tmp_path / "in.parquet"
+    pq.write_table(pa.table({"doc_id": list(range(60)), "text": docs}), src)
+    out = tmp_path / "out"
+    rc = main(["curate", str(src), str(out),
+               "--min-quality", "0.75", "--budget", "64", "--buckets", "3"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs_in"] == 60 and rep["n_docs_kept"] < 60
+    assert rep["n_chunks"] > 0
+    d = pd.concat([pd.read_parquet(p) for p in (out / "docs").rglob("*.parquet")])
+    c = pd.concat([pd.read_parquet(p) for p in (out / "chunks").rglob("*.parquet")])
+    assert len(d) == len(c) == rep["n_docs_kept"]
+    assert 7 not in set(d["doc_id"])                     # gated out
+    assert d.set_index("doc_id").loc[3, "n_email"] == 1  # scrubbed
+    assert "<EMAIL>" in d.set_index("doc_id").loc[3, "text_redacted"]
+    # bucket dirs exist for both sinks, same layout
+    assert sorted(p.name for p in (out / "docs").iterdir()) == \
+           sorted(p.name for p in (out / "chunks").iterdir())
+    # dirty-output guard
+    assert main(["curate", str(src), str(out)]) == 2

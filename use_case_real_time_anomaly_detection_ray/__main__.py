@@ -8,6 +8,8 @@ Usage::
     python -m use_case_real_time_anomaly_detection_ray anomaly INPUT.parquet OUT_DIR
     # near-dedup a (doc_id, text) table into partitioned parquet
     python -m use_case_real_time_anomaly_detection_ray dedup DOCS.parquet OUT_DIR --method minhash
+    # curate training data: redact PII -> quality gate -> pack into chunks
+    python -m use_case_real_time_anomaly_detection_ray curate DOCS.parquet OUT_DIR --budget 512
     # generate a corpus
     python -m use_case_real_time_anomaly_detection_ray datagen OUT_DIR --parts 8
 
@@ -64,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="minhash Jaccard threshold")
     d.add_argument("--max-hamming", type=int, default=3,
                    help="simhash Hamming radius")
+
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation: redact PII -> quality filter -> "
+             "pack into token-budget chunks -> partitioned parquet")
+    c.add_argument("input_parquet", help="(doc_id, text) file or directory")
+    c.add_argument("out_dir")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--budget", type=int, default=512,
+                   help="tokens per training chunk")
+    c.add_argument("--buckets", type=int, default=16,
+                   help="packing buckets (also the output partition count)")
 
     g = sub.add_parser("datagen", help="generate a synthetic code corpus")
     g.add_argument("out_dir")
@@ -139,6 +153,89 @@ def main(argv: list[str] | None = None) -> int:
                 kept = n_docs
             print(json.dumps({"out_dir": args.out_dir,
                               "n_docs": int(n_docs), "n_kept": int(kept)}))
+        elif args.cmd == "curate":
+            import ray.data
+
+            from .pipelines import textops
+
+            if os.path.isdir(args.out_dir) and any(
+                f.endswith(".parquet")
+                for _dp, _dn, fs in os.walk(args.out_dir) for f in fs
+            ):  # output nests under docs/ and chunks/ — walk, don't listdir
+                print(json.dumps({"error": f"out_dir {args.out_dir} already "
+                                           "contains parquet files"}))
+                return 2
+            ds = ray.data.read_parquet(args.input_parquet,
+                                       columns=["doc_id", "text"])
+            n_in = ds.count()
+            # 1. scrub PII (actor pool, compiled patterns)
+            red = textops.redact_pii(ds)
+
+            # 2. quality-gate the REDACTED text — quality is per-row
+            # derivable, so score+filter FUSE into one map (never split a
+            # filter from its format stage: Ray skips UDFs on empty blocks)
+            min_q = args.min_quality
+
+            def quality_gate(t):
+                import pyarrow as _pa
+
+                from .functions import text as _T
+
+                q = [_T.quality_features(x)
+                     for x in t["text_redacted"].to_pylist()]
+                score = [
+                    0.25 * (10 <= f["n_words"] <= 100_000)
+                    + 0.25 * (f["stop_ratio"] >= 0.01)
+                    + 0.25 * (f["punct_ratio"] <= 0.2)
+                    + 0.25 * (2.0 <= f["mean_word_len"] <= 12.0)
+                    for f in q
+                ]
+                return t.filter(_pa.array([s >= min_q for s in score]))
+
+            kept = red.map_batches(quality_gate, batch_format="pyarrow")
+            n_kept = kept.count()
+
+            # 3. pack survivors into token-budget chunks (metadata shuffle —
+            # the text column never moves; the assignment is a light sidecar
+            # the trainer joins by doc_id at load time)
+            packed = textops.pack_chunks(
+                kept, budget=args.budget, num_buckets=args.buckets,
+                text_col="text_redacted").materialize()
+            os.makedirs(args.out_dir, exist_ok=True)
+            nb = args.buckets
+
+            def tag_bucket(t):
+                import numpy as _np
+                import pyarrow as _pa
+
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "bucket",
+                    _pa.array(ids.astype(_np.int64) % nb, _pa.int64()))
+
+            # docs/ and chunks/ share the bucket layout (doc_id % buckets),
+            # one directory per bucket → a failed run resumes per partition
+            # and a bucket's text sits beside its chunk map
+            kept.map_batches(tag_bucket, batch_format="pyarrow") \
+                .write_parquet(os.path.join(args.out_dir, "docs"),
+                               partition_cols=["bucket"])
+            packed.write_parquet(os.path.join(args.out_dir, "chunks"),
+                                 partition_cols=["bucket"])
+            from .stages.reduce import distinct_rows
+
+            n_chunks = distinct_rows(
+                packed.map_batches(
+                    lambda t: t.select(["bucket", "chunk_seq"]),
+                    batch_format="pyarrow"),
+                ["bucket", "chunk_seq"],
+            ).count()
+            print(json.dumps({
+                "out_dir": args.out_dir,
+                "n_docs_in": int(n_in),
+                "n_docs_kept": int(n_kept),
+                "n_chunks": int(n_chunks),
+                "budget": args.budget,
+            }))
         elif args.cmd == "anomaly":
             import ray.data
 
