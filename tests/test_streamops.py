@@ -171,3 +171,31 @@ def test_cents_rejects_nulls(ray_session):
     })
     with pytest.raises(Exception, match="null `value`"):
         SO.sessionize(ray.data.from_arrow(t)).materialize()
+
+
+def test_cap_per_key_deterministic_and_layout_invariant(ray_session):
+    """At most k rows per key; the picked set is a function of md5(id) only
+    — identical across block layouts — and matches a pandas reference."""
+    import hashlib
+
+    import pandas as pd
+
+    from use_case_real_time_anomaly_detection_ray.pipelines import streamops
+
+    rng = np.random.default_rng(15)
+    n = 400
+    df = pd.DataFrame({"event_id": rng.permutation(10_000)[:n].astype("int64"),
+                       "user_id": rng.integers(0, 25, n).astype("int64")})
+    want = df.assign(samp_h=[hashlib.md5(str(x).encode()).hexdigest()
+                             for x in df["event_id"]])
+    want = (want.sort_values(["samp_h", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False).head(3))
+    want = (want.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "user_id", "samp_h"]])
+    for split in (2, 7):
+        ds = ray.data.from_pandas([df.iloc[i::split] for i in range(split)])
+        got = (streamops.cap_per_key(ds, "user_id", k=3, id_col="event_id")
+               .to_pandas().sort_values("event_id").reset_index(drop=True)
+               [["event_id", "user_id", "samp_h"]])
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert got.groupby("user_id").size().le(3).all()

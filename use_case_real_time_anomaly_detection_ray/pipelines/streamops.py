@@ -395,9 +395,58 @@ def hash_sample(
     return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def cap_per_key(
+    ds: "ray.data.Dataset",
+    key: str,
+    k: int,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Deterministic per-key downsampling: keep at most ``k`` rows per key,
+    chosen by md5 of the row id — a uniform 'random' pick that reproduces
+    on any engine, cluster size or block layout (the per-domain /
+    per-user capping step of web-corpus curation).
+
+    Composition: add the hash column in a stateless map, then the existing
+    ``top_k_by_key`` partial-reduce (per-block head shrinks before the
+    shuffle; bucket merge re-heads). Output carries the hash as ``samp_h``
+    so the pick is auditable."""
+    import hashlib
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(x).encode()).hexdigest()
+             for x in t[id_col].to_pylist()]
+        return t.append_column("samp_h", pa.array(h, pa.string()))
+
+    from ..stages.window import top_k_by_key
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow")
+    return top_k_by_key(hashed, key, ["samp_h", id_col], k,
+                        descending=False)
+
+
 # --------------------------------------------------------------------------
 # driver queries + DuckDB oracles
 # --------------------------------------------------------------------------
+
+def q_events_cap_per_user(sf_dir: str):
+    """Keep at most 3 events per user, md5-deterministic — same rows on any
+    engine or layout."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return cap_per_key(ev, "user_id", k=3, id_col="event_id")
+
+
+SQL_CAP_PER_USER = """
+WITH h AS (
+  SELECT user_id, event_id,
+         md5(CAST(event_id AS VARCHAR)) AS samp_h
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY samp_h, event_id) AS rn
+  FROM h)
+SELECT event_id, user_id, samp_h FROM r WHERE rn <= 3
+"""
+
 
 def q_events_sessionize(sf_dir: str):
     ev = read_table(sf_dir, "events",
@@ -436,6 +485,7 @@ STREAM_QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_hourly_windows": q_events_hourly_windows,
+    "events_cap_per_user": q_events_cap_per_user,
     "doc_sample_stratified": q_doc_sample_stratified,
 }
 
@@ -499,5 +549,6 @@ STREAM_ORACLE = {
     "events_asof_join": SQL_ASOF,
     "events_range_join": SQL_RANGE_JOIN,
     "events_hourly_windows": SQL_HOURLY,
+    "events_cap_per_user": SQL_CAP_PER_USER,
     "doc_sample_stratified": SQL_SAMPLE,
 }
