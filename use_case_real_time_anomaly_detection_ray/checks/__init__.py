@@ -64,6 +64,14 @@ REGISTRY: dict[str, Check] = {
         Check("lang_iqr", "interquartile-range", "gate",
               "tinybird/pipes/copy_iqr.pipe:45-82 (metric: lang frequency)",
               ("iqr_multiplier",)),
+        Check("psi_drift", "distribution-drift", "gate",
+              "tinybird/pipes/copy_z_score.pipe:24-56 (point fence -> "
+              "partition-histogram PSI fence)",
+              ("bin_width", "n_bins", "psi_threshold")),
+        Check("chi2_drift", "distribution-drift", "gate",
+              "tinybird/pipes/copy_iqr.pipe:45-82 (point fence -> "
+              "categorical chi-squared fence)",
+              ("chi2_threshold",)),
         Check("uniqueness", "uniqueness", "key",
               "tinybird/pipes/dedup_log.pipe:6 (key machinery)",
               ()),

@@ -227,8 +227,85 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --------------------------------------------------------------------------
+# distribution-drift gates per source partition (PSI + chi-squared)
+# --------------------------------------------------------------------------
+
+def q_drift_psi_sources(sf_dir: str):
+    """PSI of the n_chars histogram per source vs the corpus histogram —
+    the partition-level transposition of the reference's z-score/IQR
+    point fences (``copy_z_score.pipe:24-56``); see ``pipelines/drift.py``."""
+    from .drift import psi_drift
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return psi_drift(ds, part_col="source", value_col="n_chars",
+                     bin_width=50.0, n_bins=12, threshold=0.1)
+
+
+SQL_DRIFT_PSI_SOURCES = """
+WITH binned AS (
+  SELECT source AS part,
+         GREATEST(LEAST(CAST(FLOOR(n_chars / 50.0) AS BIGINT), 11), 0) AS bin
+  FROM documents
+),
+c AS (SELECT part, bin, count(*) AS c FROM binned GROUP BY part, bin),
+parts AS (SELECT part, sum(c) AS n_p FROM c GROUP BY part),
+bins AS (SELECT range AS bin FROM range(12)),
+g AS (SELECT bin, sum(c) AS c_g FROM c GROUP BY bin),
+tot AS (SELECT sum(c) AS n FROM c),
+grid AS (SELECT p.part, p.n_p, b.bin FROM parts p CROSS JOIN bins b),
+j AS (SELECT grid.part, grid.n_p, grid.bin,
+             COALESCE(c.c, 0) AS c_pb, COALESCE(g.c_g, 0) AS c_b
+      FROM grid LEFT JOIN c ON grid.part = c.part AND grid.bin = c.bin
+                LEFT JOIN g ON grid.bin = g.bin),
+pq AS (SELECT part, n_p,
+              (c_pb + 0.5) / (n_p + 0.5 * 12) AS p,
+              (c_b + 0.5) / ((SELECT n FROM tot) + 0.5 * 12) AS q
+       FROM j),
+ct AS (SELECT part, n_p,
+              FLOOR((p - q) * LN(p / q) * 1e6 + 0.5) / 1e6 AS t
+       FROM pq)
+SELECT part AS source, CAST(n_p AS BIGINT) AS n_rows,
+       FLOOR(SUM(t) * 1e6 + 0.5) / 1e6 AS psi,
+       FLOOR(SUM(t) * 1e6 + 0.5) / 1e6 > 0.1 AS flagged
+FROM ct GROUP BY part, n_p
+"""
+
+
+def q_drift_chi2_sources(sf_dir: str):
+    """Chi-squared of lang frequencies per source vs the corpus
+    distribution (df=4 for the 5 langs; fence = 95th pct 9.488)."""
+    from .drift import chi2_drift
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    return chi2_drift(ds, part_col="source", cat_col="lang", threshold=9.488)
+
+
+SQL_DRIFT_CHI2_SOURCES = """
+WITH c AS (SELECT source AS part, lang AS cat, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+parts AS (SELECT part, sum(c) AS n_p FROM c GROUP BY part),
+cats AS (SELECT cat, sum(c) AS c_g FROM c GROUP BY cat),
+tot AS (SELECT sum(c) AS n FROM c),
+grid AS (SELECT p.part, p.n_p, g.cat, g.c_g FROM parts p CROSS JOIN cats g),
+j AS (SELECT grid.part, grid.n_p, grid.cat, grid.c_g, COALESCE(c.c, 0) AS obs
+      FROM grid LEFT JOIN c ON grid.part = c.part AND grid.cat = c.cat),
+ct AS (SELECT part, n_p,
+              FLOOR((obs - (n_p * c_g) / (SELECT n FROM tot))
+                    * (obs - (n_p * c_g) / (SELECT n FROM tot))
+                    / ((n_p * c_g) / (SELECT n FROM tot)) * 1e6 + 0.5) / 1e6 AS t
+       FROM j)
+SELECT part AS source, CAST(n_p AS BIGINT) AS n_rows,
+       FLOOR(SUM(t) * 1e6 + 0.5) / 1e6 AS chi2,
+       FLOOR(SUM(t) * 1e6 + 0.5) / 1e6 > 9.488 AS flagged
+FROM ct GROUP BY part, n_p
+"""
+
+
 VALIDATION_QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "drift_psi_sources": q_drift_psi_sources,
+    "drift_chi2_sources": q_drift_chi2_sources,
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "uniqueness_summary": q_uniqueness_summary,
     "referential_orphans": q_referential_orphans,
@@ -237,6 +314,8 @@ VALIDATION_QUERIES = {
 
 VALIDATION_ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "drift_psi_sources": SQL_DRIFT_PSI_SOURCES,
+    "drift_chi2_sources": SQL_DRIFT_CHI2_SOURCES,
     "uniqueness_lineitem": SQL_UNIQUENESS_LINEITEM,
     "uniqueness_summary": SQL_UNIQUENESS_SUMMARY,
     "referential_orphans": SQL_REFERENTIAL_ORPHANS,
