@@ -960,3 +960,31 @@ def test_curate_cli_dual_partitioned_sinks(ray_session, tmp_path, capsys):
            sorted(p.name for p in (out / "chunks").iterdir())
     # dirty-output guard
     assert main(["curate", str(src), str(out)]) == 2
+
+
+def test_repetition_scores_planted(ray_session):
+    """Gopher-style repetition: an all-one-word doc maxes both fractions; an
+    all-distinct doc scores zero; degenerate docs are total."""
+    docs = [
+        "spam spam spam spam spam spam spam spam",   # dup 7/8, top bigram 7/7
+        " ".join(f"w{i}" for i in range(30)),        # all distinct, top bigram 1/29
+        "one",                                        # no bigrams
+        "",                                           # no words
+        "ab cd ab cd ab cd",                          # top bigram 3/5? -> ab cd x3, cd ab x2
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ).repartition(3)
+    got = (textops.repetition_scores(ds)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[0, "dup_word_frac"] == np.floor((1 - 1 / 8) * 1e6 + 0.5) / 1e6
+    assert got.loc[0, "top_bigram_frac"] == 1.0
+    assert bool(got.loc[0, "flagged"])
+    assert got.loc[1, "dup_word_frac"] == 0.0
+    assert got.loc[1, "top_bigram_frac"] == np.floor(1 / 29 * 1e6 + 0.5) / 1e6
+    assert not bool(got.loc[1, "flagged"])
+    assert got.loc[2, "n_words"] == 1
+    assert got.loc[2, "top_bigram_frac"] == 0.0
+    assert got.loc[3, "n_words"] == 0
+    assert got.loc[3, "dup_word_frac"] == 0.0
+    assert got.loc[4, "top_bigram_frac"] == np.floor(3 / 5 * 1e6 + 0.5) / 1e6

@@ -1842,6 +1842,65 @@ def quality_score(
     return st.map_batches(score, batch_format="pyarrow")
 
 
+def repetition_scores(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_word_threshold: float = 0.6,
+    top_bigram_threshold: float = 0.04,
+) -> "ray.data.Dataset":
+    """Gopher-style within-document repetition scores (Rae et al. 2021's
+    repetition-removal family, transposed to the whitespace tokenizer):
+
+    * ``dup_word_frac``  = 1 − distinct_words / n_words — the duplicate-
+      token fraction (the word-level analog of Gopher's duplicate-line
+      fraction);
+    * ``top_bigram_frac`` = occurrences of the most frequent adjacent word
+      pair / total bigram occurrences (Gopher's top-2-gram fraction);
+    * ``flagged`` when either exceeds its fence.
+
+    Both fractions round half-up to 1e-6 so the DuckDB oracle matches
+    bitwise. Docs with no words score 0/0 → 0.0; docs with one word have
+    no bigrams → ``top_bigram_frac = 0.0``.
+
+    Scale shape: map-only — each doc scores inside its own block with a
+    per-doc Counter; nothing shuffles and only four small columns leave
+    the block (the reference's per-point predicate pattern,
+    ``copy_out_of_range.pipe:32``, applied to intra-doc repetition).
+    """
+    from collections import Counter
+
+    def score(t: pa.Table) -> pa.Table:
+        n_words, dupf, topf = [], [], []
+        for txt in t[text_col].to_pylist():
+            w = T.words(txt)
+            n = len(w)
+            n_words.append(n)
+            if n == 0:
+                dupf.append(0.0)
+                topf.append(0.0)
+                continue
+            dup = 1.0 - len(set(w)) / float(n)
+            dupf.append(np.floor(dup * 1e6 + 0.5) / 1e6)
+            if n < 2:
+                topf.append(0.0)
+                continue
+            c = Counter(zip(w, w[1:]))
+            topf.append(np.floor(max(c.values()) / float(n - 1) * 1e6 + 0.5) / 1e6)
+        dupa = np.asarray(dupf)
+        topa = np.asarray(topf)
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "dup_word_frac": pa.array(dupa, pa.float64()),
+            "top_bigram_frac": pa.array(topa, pa.float64()),
+            "flagged": pa.array((dupa > dup_word_threshold)
+                                | (topa > top_bigram_threshold)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def fingerprint_table(
     ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, window: int = 4,

@@ -80,6 +80,44 @@ FROM f
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition scores (duplicate-word + top-bigram
+    fractions) — see ``textops.repetition_scores``."""
+    return textops.repetition_scores(_docs(sf_dir))
+
+
+SQL_DOC_REPETITION = """
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), ws AS (
+  SELECT doc_id, w, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+  FROM f
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || chr(10) || w[i + 1])) AS b
+  FROM ws WHERE n_words >= 2
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bt AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi FROM bc GROUP BY doc_id
+), s AS (
+  SELECT ws.doc_id, ws.n_words,
+         CASE WHEN ws.n_words = 0 THEN 0.0
+              ELSE FLOOR((1.0 - ws.n_distinct / CAST(ws.n_words AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 END AS dup_word_frac,
+         COALESCE(FLOOR(bt.top_c / CAST(bt.n_bi AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                  0.0) AS top_bigram_frac
+  FROM ws LEFT JOIN bt ON ws.doc_id = bt.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+       (dup_word_frac > 0.6 OR top_bigram_frac > 0.04) AS flagged
+FROM s
+"""
+
+
 def q_doc_quality(sf_dir: str):
     return textops.quality_score(_docs(sf_dir))
 
@@ -639,6 +677,7 @@ def q_media_frame_sample(sf_dir: str):
 TEXT_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_text_stats": q_doc_text_stats,
+    "doc_repetition": q_doc_repetition,
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
     "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
@@ -666,6 +705,7 @@ TEXT_QUERIES = {
 TEXT_ORACLE = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_text_stats": SQL_DOC_TEXT_STATS,
+    "doc_repetition": SQL_DOC_REPETITION,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
