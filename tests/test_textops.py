@@ -988,3 +988,29 @@ def test_repetition_scores_planted(ray_session):
     assert got.loc[3, "n_words"] == 0
     assert got.loc[3, "dup_word_frac"] == 0.0
     assert got.loc[4, "top_bigram_frac"] == np.floor(3 / 5 * 1e6 + 0.5) / 1e6
+
+
+def test_shared_passages_planted(ray_session):
+    """A passage planted in 3 docs (twice in one) surfaces with exact
+    counts; unique text and sub-k docs contribute nothing."""
+    passage = "the quick brown fox jumps over the lazy dog runs"  # 10 words
+    docs = [
+        f"intro words here {passage} tail one",
+        f"{passage} something else entirely after",
+        f"prefix {passage} middle {passage} suffix pad pad pad",
+        "totally unique content with no overlap at all whatsoever here now",
+        "short doc",  # < k words
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ).repartition(3)
+    got = textops.shared_passages(ds, k=10, min_docs=2).to_pandas()
+    row = got[got["gram"] == passage]
+    assert len(row) == 1
+    assert int(row["n_docs"].iloc[0]) == 3
+    assert int(row["n_occ"].iloc[0]) == 4
+    # every returned gram really is cross-doc
+    assert (got["n_docs"] >= 2).all()
+    # nothing from the unique or sub-k docs
+    assert not got["gram"].str.contains("whatsoever").any()
+    assert not got["gram"].str.contains("short").any()

@@ -1901,6 +1901,58 @@ def repetition_scores(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def shared_passages(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Cross-document duplicated passages: every lowercased word ``k``-gram
+    that occurs in at least ``min_docs`` distinct documents, with its doc
+    count and total occurrence count — the exact-substring-mining primitive
+    of training-data dedup (find boilerplate/licenses/templated passages
+    that near-dup clustering at the whole-doc level misses).
+
+    Scale shape: each block shrinks its docs to per-doc distinct-gram
+    Counters (one ``(gram, doc, c)`` row per distinct gram per doc — a doc
+    is one row, so the pair is globally unique without a distinct pass),
+    then ONE gram-hash bucketed merge counts docs (row count) and sums
+    occurrences per gram and filters to the cross-doc tail. The shuffle is
+    O(distinct grams per doc) — inherent to exact passage mining (the
+    corpus's gram stream must meet itself); the *output* is only the
+    duplicated tail. Docs with fewer than ``k`` words contribute nothing.
+    """
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        docs: list[int] = []
+        occs: list[int] = []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            w = T.words(txt.lower())
+            if len(w) < k:
+                continue
+            c = Counter(" ".join(w[i:i + k]) for i in range(len(w) - k + 1))
+            grams.extend(c.keys())
+            docs.extend([did] * len(c))
+            occs.extend(c.values())
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            id_col: pa.array(docs, pa.int64()),
+            "c": pa.array(occs, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram", sort=False).agg(
+            n_docs=(id_col, "size"), n_occ=("c", "sum")).reset_index()
+        return agg[agg["n_docs"] >= min_docs]
+
+    return bucketed_merge(parts, ["gram"], merge)
+
+
 def fingerprint_table(
     ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, window: int = 4,

@@ -118,6 +118,30 @@ FROM s
 """
 
 
+def q_doc_shared_passages(sf_dir: str):
+    """Cross-doc duplicated 8-gram passages — see
+    ``textops.shared_passages``."""
+    return textops.shared_passages(_docs(sf_dir), k=8, min_docs=2)
+
+
+SQL_DOC_SHARED_PASSAGES = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 8 + 2),
+                               i -> array_to_string(list_slice(w, i, i + 7),
+                                                    ' '))) AS gram
+  FROM w WHERE len(w) >= 8
+)
+SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def q_doc_quality(sf_dir: str):
     return textops.quality_score(_docs(sf_dir))
 
@@ -678,6 +702,7 @@ TEXT_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_text_stats": q_doc_text_stats,
     "doc_repetition": q_doc_repetition,
+    "doc_shared_passages": q_doc_shared_passages,
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
     "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
@@ -706,6 +731,7 @@ TEXT_ORACLE = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_shared_passages": SQL_DOC_SHARED_PASSAGES,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
