@@ -64,6 +64,19 @@ def test_psi_flags_planted_shift():
         assert by.loc[part, "psi"] == psi
 
 
+def test_ks_flags_planted_shift():
+    tab = _corpus()
+    ds = ray.data.from_arrow(tab).repartition(8)
+    got = drift.ks_drift(ds, "part", "val", bin_width=50.0, n_bins=12,
+                         threshold=0.1).set_index("part")
+    assert bool(got.loc["p9", "flagged"])
+    # a +300 shift moves ~6 of 12 bins of mass: KS must be large
+    assert got.loc["p9", "ks"] > 0.3
+    assert got.loc["p9", "ks"] > 3 * got.drop("p9")["ks"].max()
+    # KS is a probability-scale distance
+    assert ((got["ks"] >= 0) & (got["ks"] <= 1)).all()
+
+
 def test_chi2_flags_planted_category_collapse():
     tab = _corpus()
     ds = ray.data.from_arrow(tab).repartition(8)
@@ -82,11 +95,14 @@ def test_drift_paths_byte_identical(monkeypatch):
     ds = ray.data.from_arrow(tab).repartition(8)
     a_psi = drift.psi_drift(ds, "part", "val")
     a_chi = drift.chi2_drift(ds, "part", "cat")
+    a_ks = drift.ks_drift(ds, "part", "val")
     monkeypatch.setattr(drift, "DRIFT_DRIVER_BELOW", 0)
     b_psi = drift.psi_drift(ds, "part", "val")
     b_chi = drift.chi2_drift(ds, "part", "cat")
+    b_ks = drift.ks_drift(ds, "part", "val")
     pd.testing.assert_frame_equal(a_psi, b_psi)
     pd.testing.assert_frame_equal(a_chi, b_chi)
+    pd.testing.assert_frame_equal(a_ks, b_ks)
 
 
 def test_psi_identical_distribution_near_zero():

@@ -72,6 +72,10 @@ REGISTRY: dict[str, Check] = {
               "tinybird/pipes/copy_iqr.pipe:45-82 (point fence -> "
               "categorical chi-squared fence)",
               ("chi2_threshold",)),
+        Check("ks_drift", "distribution-drift", "gate",
+              "tinybird/pipes/copy_z_score.pipe:24-56 (point fence -> "
+              "binned-ECDF Kolmogorov-Smirnov fence)",
+              ("bin_width", "n_bins", "ks_threshold")),
         Check("uniqueness", "uniqueness", "key",
               "tinybird/pipes/dedup_log.pipe:6 (key machinery)",
               ()),

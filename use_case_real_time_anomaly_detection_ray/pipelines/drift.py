@@ -160,6 +160,57 @@ def psi_drift(
 
 
 # --------------------------------------------------------------------------
+# Kolmogorov–Smirnov over the binned ECDF
+# --------------------------------------------------------------------------
+
+def ks_drift(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    value_col: str,
+    bin_width: float = 50.0,
+    n_bins: int = 12,
+    threshold: float = 0.1,
+) -> pd.DataFrame:
+    """Kolmogorov–Smirnov distance between each partition's binned ECDF and
+    the corpus-wide ECDF (evaluated at the bin edges — the exact KS of the
+    discretized distributions).
+
+    ``KS = max_b |cum_p(b)/n_p − cum_q(b)/N|`` — a max of exactly-computed
+    integer-ratio differences, so it is addition-order-independent by
+    construction; the final half-up 1e-6 rounding only pins the printed
+    grid. Same count machinery and scale shape as :func:`psi_drift`.
+    """
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.floor(v / bin_width), n_bins - 1)
+        b = np.maximum(b, 0.0).astype(np.int64)
+        return pa.table({part_col: t[part_col], "bin": pa.array(b)})
+
+    binned = ds.map_batches(add_bin, batch_format="pyarrow")
+    counts, glob, total = _counts_and_global(binned, part_col, "bin")
+    glob_c = glob.reindex(range(n_bins), fill_value=0).to_numpy(np.float64)
+    cq = np.cumsum(glob_c) / total
+
+    def score_frame(cdf: pd.DataFrame) -> pd.DataFrame:
+        piv = cdf.pivot_table(index=part_col, columns="bin", values="c",
+                              aggfunc="sum", fill_value=0)
+        piv = piv.reindex(columns=range(n_bins), fill_value=0)
+        obs = piv.to_numpy(np.float64)
+        n_p = obs.sum(axis=1)
+        cp = np.cumsum(obs, axis=1) / n_p[:, None]
+        ks = _round6(np.abs(cp - cq[None, :]).max(axis=1))
+        return pd.DataFrame({
+            part_col: piv.index.to_numpy(),
+            "n_rows": n_p.astype(np.int64),
+            "ks": ks,
+            "flagged": ks > threshold,
+        })
+
+    return _score_counts(counts, part_col, "bin", score_frame)
+
+
+# --------------------------------------------------------------------------
 # chi-squared goodness-of-fit over a categorical column
 # --------------------------------------------------------------------------
 

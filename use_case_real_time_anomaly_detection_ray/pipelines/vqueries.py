@@ -272,6 +272,45 @@ FROM ct GROUP BY part, n_p
 """
 
 
+def q_drift_ks_sources(sf_dir: str):
+    """Binned-ECDF Kolmogorov–Smirnov distance per source vs the corpus
+    ECDF — see ``pipelines/drift.ks_drift``."""
+    from .drift import ks_drift
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return ks_drift(ds, part_col="source", value_col="n_chars",
+                    bin_width=50.0, n_bins=12, threshold=0.1)
+
+
+SQL_DRIFT_KS_SOURCES = """
+WITH binned AS (
+  SELECT source AS part,
+         GREATEST(LEAST(CAST(FLOOR(n_chars / 50.0) AS BIGINT), 11), 0) AS bin
+  FROM documents
+),
+c AS (SELECT part, bin, count(*) AS c FROM binned GROUP BY part, bin),
+parts AS (SELECT part, sum(c) AS n_p FROM c GROUP BY part),
+bins AS (SELECT range AS bin FROM range(12)),
+g AS (SELECT bin, sum(c) AS c_g FROM c GROUP BY bin),
+tot AS (SELECT sum(c) AS n FROM c),
+grid AS (SELECT p.part, p.n_p, b.bin FROM parts p CROSS JOIN bins b),
+j AS (SELECT grid.part, grid.n_p, grid.bin,
+             COALESCE(c.c, 0) AS c_pb, COALESCE(g.c_g, 0) AS c_b
+      FROM grid LEFT JOIN c ON grid.part = c.part AND grid.bin = c.bin
+                LEFT JOIN g ON grid.bin = g.bin),
+cum AS (SELECT part, n_p,
+               SUM(c_pb) OVER (PARTITION BY part ORDER BY bin)
+                 / CAST(n_p AS DOUBLE) AS cp,
+               SUM(c_b) OVER (PARTITION BY part ORDER BY bin)
+                 / (SELECT CAST(n AS DOUBLE) FROM tot) AS cq
+        FROM j)
+SELECT part AS source, CAST(n_p AS BIGINT) AS n_rows,
+       FLOOR(MAX(ABS(cp - cq)) * 1e6 + 0.5) / 1e6 AS ks,
+       FLOOR(MAX(ABS(cp - cq)) * 1e6 + 0.5) / 1e6 > 0.1 AS flagged
+FROM cum GROUP BY part, n_p
+"""
+
+
 def q_drift_chi2_sources(sf_dir: str):
     """Chi-squared of lang frequencies per source vs the corpus
     distribution (df=4 for the 5 langs; fence = 95th pct 9.488)."""
@@ -305,6 +344,7 @@ FROM ct GROUP BY part, n_p
 VALIDATION_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "drift_psi_sources": q_drift_psi_sources,
+    "drift_ks_sources": q_drift_ks_sources,
     "drift_chi2_sources": q_drift_chi2_sources,
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "uniqueness_summary": q_uniqueness_summary,
@@ -315,6 +355,7 @@ VALIDATION_QUERIES = {
 VALIDATION_ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "drift_psi_sources": SQL_DRIFT_PSI_SOURCES,
+    "drift_ks_sources": SQL_DRIFT_KS_SOURCES,
     "drift_chi2_sources": SQL_DRIFT_CHI2_SOURCES,
     "uniqueness_lineitem": SQL_UNIQUENESS_LINEITEM,
     "uniqueness_summary": SQL_UNIQUENESS_SUMMARY,
