@@ -1014,3 +1014,61 @@ def test_shared_passages_planted(ray_session):
     # nothing from the unique or sub-k docs
     assert not got["gram"].str.contains("whatsoever").any()
     assert not got["gram"].str.contains("short").any()
+
+
+def _brute_ppl(texts):
+    """Driver-side reference for lm_perplexity (same rounding discipline)."""
+    from collections import Counter
+
+    bc, pc, vocab = Counter(), Counter(), set()
+    toks = {i: T.words(t.lower()) for i, t in enumerate(texts)}
+    for w in toks.values():
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            bc[(a, b)] += 1
+            pc[a] += 1
+    out = {}
+    for i, w in toks.items():
+        if len(w) < 2:
+            continue
+        c = Counter(zip(w, w[1:]))
+        s = sum(cnt * (np.floor(np.log((bc[bg] + 0.5)
+                                       / (pc[bg[0]] + 0.5 * len(vocab)))
+                                * 1e6 + 0.5) / 1e6)
+                for bg, cnt in c.items())
+        k = len(w) - 1
+        out[i] = (k, float(np.floor(np.exp(-s / k) * 1e6 + 0.5) / 1e6))
+    return out
+
+
+def test_lm_perplexity_reference_and_ordering(ray_session):
+    rng = np.random.default_rng(21)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 50, 40)) for _ in range(20)]
+    texts.append("a b c a b c a b c a b c a b c a b c")   # templated
+    texts.append("one")                                    # < 2 words -> no row
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(4)
+    got = textops.lm_perplexity(ds).set_index("doc_id")
+    want = _brute_ppl(texts)
+    assert set(got.index) == set(want)          # doc 21 emits no row
+    for i, (k, ppl) in want.items():
+        assert got.loc[i, "n_bigrams"] == k
+        assert got.loc[i, "ppl"] == ppl, i
+    # the templated doc's bigrams are corpus-frequent (it repeats itself):
+    # it must be the least-perplexing document
+    assert got["ppl"].idxmin() == 20
+
+
+def test_lm_perplexity_paths_byte_identical(monkeypatch, ray_session):
+    rng = np.random.default_rng(22)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 30, 25)) for _ in range(15)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(4)
+    a = textops.lm_perplexity(ds)
+    monkeypatch.setattr(textops, "LM_BROADCAST_VOCAB", 0)
+    b = textops.lm_perplexity(ds)
+    pd.testing.assert_frame_equal(a, b)

@@ -1901,6 +1901,210 @@ def repetition_scores(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+# above this many distinct corpus bigrams the LM tables stop broadcasting
+# and scoring moves into bucketed co-locations (the TF-IDF discipline)
+LM_BROADCAST_VOCAB = 2_000_000
+
+
+def lm_perplexity(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Corpus-trained bigram-LM perplexity per document — the CCNet-style
+    quality filter (documents whose token sequences are improbable under a
+    model of the corpus itself score high and get culled).
+
+    Model: add-``alpha`` smoothed bigram LM over lowercased whitespace
+    words, ``P(w2|w1) = (c(w1,w2) + α) / (c_prefix(w1) + α·V)`` with ``V``
+    the exact corpus unigram vocabulary size and ``c_prefix`` the count of
+    bigrams starting at ``w1``. Per doc:
+    ``ppl = exp(−Σ c·lp / Σ c)`` over the doc's distinct bigrams, where
+    ``lp = round6(ln P)`` — rounding each distinct bigram's log-prob to the
+    1e-6 grid BEFORE the integer-weighted sum makes the score independent
+    of addition order (BM25 discipline), so the DuckDB oracle matches
+    bitwise. Docs with fewer than two words emit no row.
+
+    Scale shape: training is two Counter-partial bucketed merges (bigram
+    counts, then prefix counts derived from them — vocabulary-sized, never
+    corpus-sized) plus an exact distinct-unigram count. Scoring broadcasts
+    the two count tables via ``ray.put`` below ``LM_BROADCAST_VOCAB``
+    distinct bigrams and scores map-only (zero row shuffles); above it the
+    per-doc (bigram, count) rows co-locate with the model by bigram-hash
+    then prefix-hash buckets and fold per doc-hash bucket — three
+    vocabulary-keyed hops, no corpus-sized driver pull (paths pinned
+    byte-identical by a threshold-forced test).
+    """
+    from collections import Counter
+
+    SEP = "\n"  # words contain no whitespace, so SEP-joined bigrams are total
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            w = T.words(txt.lower())
+            c.update(SEP.join(p) for p in zip(w, w[1:]))
+        return pa.table({"bg": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def merge_sum(key):
+        def m(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(key, sort=False)["n"].sum().reset_index()
+        return m
+
+    bc = bucketed_merge(ds.map_batches(bg_partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["bg"], merge_sum("bg"), num_buckets).materialize()
+
+    def pc_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "w1": [b.split(SEP, 1)[0] for b in t["bg"].to_pylist()],
+            "n": t["n"].to_pandas(),
+        })
+        g = df.groupby("w1", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    pc = bucketed_merge(bc.map_batches(pc_partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["w1"], merge_sum("w1"), num_buckets).materialize()
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        s: set = set()
+        for txt in t[text_col].to_pylist():
+            s.update(T.words(txt.lower()))
+        return pa.table({"token": pa.array(sorted(s), pa.string())})
+
+    def uni_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["token"]].drop_duplicates()
+
+    vocab = bucketed_merge(ds.map_batches(uni_partial, batch_format="pyarrow",
+                                          batch_size=None),
+                           ["token"], uni_merge, num_buckets)
+    v_size = float(vocab.count())
+    denom_add = alpha * v_size
+
+    n_bigrams = bc.count()
+    if n_bigrams <= LM_BROADCAST_VOCAB:
+        bc_df = to_arrow_single(bc).to_pandas()
+        pc_df = to_arrow_single(pc).to_pandas()
+        bcd = dict(zip(bc_df["bg"], bc_df["n"].astype(np.int64)))
+        pcd = dict(zip(pc_df["w1"], pc_df["n"].astype(np.int64)))
+        ref = ray.put((bcd, pcd))
+
+        def score(t: pa.Table) -> pa.Table:
+            bcd_, pcd_ = ray.get(ref)
+            ids, nbs, ppls = [], [], []
+            for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+                w = T.words(txt.lower())
+                if len(w) < 2:
+                    continue
+                c = Counter(SEP.join(p) for p in zip(w, w[1:]))
+                s = 0.0
+                k = 0
+                for bg, cnt in c.items():
+                    w1 = bg.split(SEP, 1)[0]
+                    p = (bcd_[bg] + alpha) / (pcd_[w1] + denom_add)
+                    s += cnt * (np.floor(np.log(p) * 1e6 + 0.5) / 1e6)
+                    k += cnt
+                ids.append(did)
+                nbs.append(k)
+                ppls.append(np.floor(np.exp(-s / k) * 1e6 + 0.5) / 1e6)
+            return pa.table({id_col: pa.array(ids, t.schema.field(id_col).type),
+                             "n_bigrams": pa.array(nbs, pa.int64()),
+                             "ppl": pa.array(ppls, pa.float64())})
+
+        out = to_arrow_single(
+            ds.map_batches(score, batch_format="pyarrow")).to_pandas()
+        return out.sort_values(id_col, ignore_index=True)
+
+    # ------------------------------------------------------------------
+    # bucketed scale path: (doc, bg, c) rows meet the model tables by
+    # bigram-hash, then prefix-hash, then fold per doc-hash bucket
+    # ------------------------------------------------------------------
+    def db_partial(t: pa.Table) -> pa.Table:
+        docs, bgs, cs = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            w = T.words(txt.lower())
+            if len(w) < 2:
+                continue
+            c = Counter(SEP.join(p) for p in zip(w, w[1:]))
+            docs.extend([did] * len(c))
+            bgs.extend(c.keys())
+            cs.extend(c.values())
+        return pa.table({id_col: pa.array(docs, pa.int64()),
+                         "bg": pa.array(bgs, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    db = ds.map_batches(db_partial, batch_format="pyarrow")
+
+    def tag(t: pa.Table, schema: dict[str, pa.DataType],
+            values: dict[str, pa.Array]) -> pa.Table:
+        cols = {}
+        for name, typ in schema.items():
+            cols[name] = values.get(name, pa.nulls(t.num_rows, typ))
+        return pa.table(cols)
+
+    hop1_schema = {id_col: pa.int64(), "bg": pa.string(), "c": pa.int64(),
+                   "n_model": pa.int64()}
+    left1 = db.map_batches(
+        lambda t: tag(t, hop1_schema,
+                      {id_col: t[id_col], "bg": t["bg"], "c": t["c"]}),
+        batch_format="pyarrow")
+    right1 = bc.map_batches(
+        lambda t: tag(t, hop1_schema, {"bg": t["bg"], "n_model": t["n"]}),
+        batch_format="pyarrow")
+
+    def attach_bg(g: pd.DataFrame) -> pd.DataFrame:
+        model = g[g[id_col].isna()].set_index("bg")["n_model"]
+        rows = g[g[id_col].notna()].copy()
+        # the null-tagged union upcasts int columns through pandas NaN —
+        # restore the integer dtypes after the filter
+        rows[id_col] = rows[id_col].astype(np.int64)
+        rows["c"] = rows["c"].astype(np.int64)
+        rows["cbg"] = rows["bg"].map(model).astype(np.int64)
+        rows["w1"] = [b.split(SEP, 1)[0] for b in rows["bg"]]
+        return rows[[id_col, "w1", "c", "cbg"]]
+
+    hop1 = bucketed_merge(left1.union(right1), ["bg"], attach_bg, num_buckets)
+
+    hop2_schema = {id_col: pa.int64(), "w1": pa.string(), "c": pa.int64(),
+                   "cbg": pa.int64(), "n_model": pa.int64()}
+    left2 = hop1.map_batches(
+        lambda t: tag(t, hop2_schema,
+                      {id_col: t[id_col], "w1": t["w1"], "c": t["c"],
+                       "cbg": t["cbg"]}),
+        batch_format="pyarrow")
+    right2 = pc.map_batches(
+        lambda t: tag(t, hop2_schema, {"w1": t["w1"], "n_model": t["n"]}),
+        batch_format="pyarrow")
+
+    def attach_w1(g: pd.DataFrame) -> pd.DataFrame:
+        model = g[g[id_col].isna()].set_index("w1")["n_model"]
+        rows = g[g[id_col].notna()].copy()
+        rows[id_col] = rows[id_col].astype(np.int64)
+        rows["c"] = rows["c"].astype(np.int64)
+        cw1 = rows["w1"].map(model).astype(np.int64).to_numpy(np.float64)
+        p = (rows["cbg"].to_numpy(np.float64) + alpha) / (cw1 + denom_add)
+        rows["lp"] = np.floor(np.log(p) * 1e6 + 0.5) / 1e6
+        return rows[[id_col, "c", "lp"]]
+
+    hop2 = bucketed_merge(left2.union(right2), ["w1"], attach_w1, num_buckets)
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(clp=g["c"] * g["lp"])
+        agg = g.groupby(id_col, sort=False).agg(
+            n_bigrams=("c", "sum"), s=("clp", "sum")).reset_index()
+        agg["ppl"] = np.floor(
+            np.exp(-agg["s"] / agg["n_bigrams"]) * 1e6 + 0.5) / 1e6
+        return agg[[id_col, "n_bigrams", "ppl"]]
+
+    out = to_arrow_single(
+        bucketed_merge(hop2, [id_col], fold_doc, num_buckets)).to_pandas()
+    return out.sort_values(id_col, ignore_index=True)
+
+
 def shared_passages(
     ds: "ray.data.Dataset",
     k: int = 8,

@@ -142,6 +142,45 @@ FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q_doc_lm_perplexity(sf_dir: str):
+    """Corpus-trained bigram-LM perplexity (CCNet-style quality filter) —
+    see ``textops.lm_perplexity``."""
+    return textops.lm_perplexity(_docs(sf_dir))
+
+
+SQL_DOC_LM_PERPLEXITY = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || chr(10) || w[i + 1])) AS bg
+  FROM w WHERE len(w) >= 2
+), bc AS (
+  SELECT bg, count(*) AS cbg FROM bi GROUP BY bg
+), pc AS (
+  SELECT split_part(bg, chr(10), 1) AS w1, sum(cbg) AS cw1 FROM bc GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT u) AS vs FROM (SELECT unnest(w) AS u FROM w)
+), db AS (
+  SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+), sc AS (
+  SELECT db.doc_id, db.c,
+         FLOOR(LN((bc.cbg + 0.5)
+                  / (pc.cw1 + 0.5 * (SELECT vs FROM v))) * 1e6 + 0.5)
+           / 1e6 AS lp
+  FROM db JOIN bc USING (bg)
+          JOIN pc ON pc.w1 = split_part(db.bg, chr(10), 1)
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       FLOOR(EXP(-SUM(c * lp) / SUM(c)) * 1e6 + 0.5) / 1e6 AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_doc_quality(sf_dir: str):
     return textops.quality_score(_docs(sf_dir))
 
@@ -703,6 +742,7 @@ TEXT_QUERIES = {
     "doc_text_stats": q_doc_text_stats,
     "doc_repetition": q_doc_repetition,
     "doc_shared_passages": q_doc_shared_passages,
+    "doc_lm_perplexity": q_doc_lm_perplexity,
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
     "doc_ngram_dup_pairs": q_doc_ngram_dup_pairs,
@@ -732,6 +772,7 @@ TEXT_ORACLE = {
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_shared_passages": SQL_DOC_SHARED_PASSAGES,
+    "doc_lm_perplexity": SQL_DOC_LM_PERPLEXITY,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
