@@ -372,3 +372,60 @@ def test_global_violations_tmp_is_cleared_before_publish(corpus, tmp_path_factor
     got = pd.concat([pq.read_table(os.path.join(gdir, f)).to_pandas()
                      for f in files], ignore_index=True)
     assert not (got["check"] == "STALE").any()
+
+
+def test_drift_gate_checks_flag_planted_shifts(tmp_path_factory, ray_session):
+    """Opt-in drift gates: the planted null burst concentrates length mass
+    in bin 0 (psi_drift + ks_drift flag that part); the planted lang-profile
+    shift breaks the corpus lang mix (chi2_drift flags that part). Resume
+    reproduces the verdicts from the manifest's histogram snapshots."""
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("driftc") / "c")
+    spec = CorpusSpec(n_parts=6, rows_per_part=400, n_out_of_range=0,
+                      n_duplicates=0, n_dangling=0, null_part=2,
+                      null_frac=0.3)
+    generate_corpus(d, spec)
+    cfg = ValidationConfig(
+        checks=CFG.checks + ("psi_drift", "ks_drift", "chi2_drift"))
+    odir = str(tmp_path_factory.mktemp("drifto") / "o")
+    res = validate.run(d, odir, cfg)
+
+    psi = res.violations[res.violations.check == "psi_drift"]
+    assert 2 in psi["part"].astype(int).tolist()
+    ks = res.violations[res.violations.check == "ks_drift"]
+    assert 2 in ks["part"].astype(int).tolist()
+    chi = res.violations[res.violations.check == "chi2_drift"]
+    assert spec.lang_shift_part in chi["part"].astype(int).tolist()
+    # the planted parts carry the LARGEST statistic of their check
+    assert int(psi.loc[psi["value"].idxmax(), "part"]) == 2
+    assert int(chi.loc[chi["value"].idxmax(), "part"]) == spec.lang_shift_part
+    # verdict grid covers the new checks
+    v = res.verdicts
+    assert {"psi_drift", "ks_drift", "chi2_drift"} <= set(v["check"])
+    assert (v[(v.check == "psi_drift") & (v.part == 2)].status == "fail").all()
+    # resume: everything skipped, histograms restored from the manifest,
+    # violations byte-identical
+    res2 = validate.run(d, odir, cfg)
+    assert res2.parts_scanned == []
+    pd.testing.assert_frame_equal(
+        res.violations.sort_values(list(res.violations.columns),
+                                   ignore_index=True),
+        res2.violations.sort_values(list(res2.violations.columns),
+                                    ignore_index=True),
+    )
+
+
+def test_drift_gates_skipped_when_not_requested(corpus, tmp_path_factory,
+                                                ray_session):
+    """The default check set is unchanged: no drift rows, no histogram
+    snapshots, goldens untouched."""
+    d, _exp = corpus
+    odir = str(tmp_path_factory.mktemp("ndrift") / "o")
+    res = validate.run(d, odir, CFG)
+    assert not set(res.violations["check"]) & {"psi_drift", "ks_drift",
+                                               "chi2_drift"}
+    assert not set(res.verdicts["check"]) & {"psi_drift", "ks_drift",
+                                             "chi2_drift"}

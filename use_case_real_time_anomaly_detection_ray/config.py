@@ -82,6 +82,15 @@ class ValidationConfig:
     # distribution gates <- z-score / IQR (copy_z_score.pipe:55, copy_iqr.pipe:64-65)
     zscore_threshold: float = 2.0
     iqr_multiplier: float = 1.5
+    # partition-level distribution-drift gates (opt-in checks psi_drift /
+    # ks_drift over the content-length histogram, chi2_drift over the lang
+    # frequencies — pipelines/drift.py scorers; the fences generalize the
+    # z-score/IQR point fences to whole-partition distributions)
+    drift_bin_width: float = 100.0
+    drift_bins: int = 20
+    psi_threshold: float = 0.25
+    ks_threshold: float = 0.2
+    chi2_threshold: float = 9.488
     # shuffle hygiene
     salt_buckets: int = 16
     # exact quantiles below this many rows per group; t-digest above

@@ -54,6 +54,75 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5) / 1e6
 
 
+# --------------------------------------------------------------------------
+# pure frame scorers — shared by the Dataset operators below and by the
+# validation suite's drift gates (validate.drift_gate_violations), so the
+# two surfaces compute literally the same statistic
+# --------------------------------------------------------------------------
+
+def psi_score_table(cdf: pd.DataFrame, glob_c: np.ndarray, total: float,
+                    n_bins: int, threshold: float,
+                    part_col: str = "part", bin_col: str = "bin",
+                    n_col: str = "c") -> pd.DataFrame:
+    """Score a (part, bin, count) frame against the global bin counts."""
+    q = (glob_c + 0.5) / (total + 0.5 * n_bins)
+    piv = cdf.pivot_table(index=part_col, columns=bin_col, values=n_col,
+                          aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(n_bins), fill_value=0)
+    obs = piv.to_numpy(np.float64)
+    n_p = obs.sum(axis=1)
+    p = (obs + 0.5) / (n_p[:, None] + 0.5 * n_bins)
+    contrib = _round6((p - q[None, :]) * np.log(p / q[None, :]))
+    psi = _round6(contrib.sum(axis=1))
+    return pd.DataFrame({
+        part_col: piv.index.to_numpy(),
+        "n_rows": n_p.astype(np.int64),
+        "psi": psi,
+        "flagged": psi > threshold,
+    })
+
+
+def ks_score_table(cdf: pd.DataFrame, glob_c: np.ndarray, total: float,
+                   n_bins: int, threshold: float,
+                   part_col: str = "part", bin_col: str = "bin",
+                   n_col: str = "c") -> pd.DataFrame:
+    cq = np.cumsum(glob_c) / total
+    piv = cdf.pivot_table(index=part_col, columns=bin_col, values=n_col,
+                          aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(n_bins), fill_value=0)
+    obs = piv.to_numpy(np.float64)
+    n_p = obs.sum(axis=1)
+    cp = np.cumsum(obs, axis=1) / n_p[:, None]
+    ks = _round6(np.abs(cp - cq[None, :]).max(axis=1))
+    return pd.DataFrame({
+        part_col: piv.index.to_numpy(),
+        "n_rows": n_p.astype(np.int64),
+        "ks": ks,
+        "flagged": ks > threshold,
+    })
+
+
+def chi2_score_table(cdf: pd.DataFrame, cats: list, glob_c: np.ndarray,
+                     total: float, threshold: float,
+                     part_col: str = "part", cat_col: str = "cat",
+                     n_col: str = "c") -> pd.DataFrame:
+    piv = cdf.pivot_table(index=part_col, columns=cat_col, values=n_col,
+                          aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=cats, fill_value=0)
+    obs = piv.to_numpy(np.float64)
+    n_p = obs.sum(axis=1)
+    e = (n_p[:, None] * glob_c[None, :]) / total
+    d = obs - e
+    contrib = _round6(d * d / e)
+    chi2 = _round6(contrib.sum(axis=1))
+    return pd.DataFrame({
+        part_col: piv.index.to_numpy(),
+        "n_rows": n_p.astype(np.int64),
+        "chi2": chi2,
+        "flagged": chi2 > threshold,
+    })
+
+
 def _counts_and_global(
     binned: "ray.data.Dataset", part_col: str, bin_col: str
 ) -> tuple["ray.data.Dataset", pd.Series, float]:
@@ -138,23 +207,10 @@ def psi_drift(
     binned = ds.map_batches(add_bin, batch_format="pyarrow")
     counts, glob, total = _counts_and_global(binned, part_col, "bin")
     glob_c = glob.reindex(range(n_bins), fill_value=0).to_numpy(np.float64)
-    q = (glob_c + 0.5) / (total + 0.5 * n_bins)
 
     def score_frame(cdf: pd.DataFrame) -> pd.DataFrame:
-        piv = cdf.pivot_table(index=part_col, columns="bin", values="c",
-                              aggfunc="sum", fill_value=0)
-        piv = piv.reindex(columns=range(n_bins), fill_value=0)
-        obs = piv.to_numpy(np.float64)
-        n_p = obs.sum(axis=1)
-        p = (obs + 0.5) / (n_p[:, None] + 0.5 * n_bins)
-        contrib = _round6((p - q[None, :]) * np.log(p / q[None, :]))
-        psi = _round6(contrib.sum(axis=1))
-        return pd.DataFrame({
-            part_col: piv.index.to_numpy(),
-            "n_rows": n_p.astype(np.int64),
-            "psi": psi,
-            "flagged": psi > threshold,
-        })
+        return psi_score_table(cdf, glob_c, total, n_bins, threshold,
+                               part_col=part_col)
 
     return _score_counts(counts, part_col, "bin", score_frame)
 
@@ -190,22 +246,10 @@ def ks_drift(
     binned = ds.map_batches(add_bin, batch_format="pyarrow")
     counts, glob, total = _counts_and_global(binned, part_col, "bin")
     glob_c = glob.reindex(range(n_bins), fill_value=0).to_numpy(np.float64)
-    cq = np.cumsum(glob_c) / total
 
     def score_frame(cdf: pd.DataFrame) -> pd.DataFrame:
-        piv = cdf.pivot_table(index=part_col, columns="bin", values="c",
-                              aggfunc="sum", fill_value=0)
-        piv = piv.reindex(columns=range(n_bins), fill_value=0)
-        obs = piv.to_numpy(np.float64)
-        n_p = obs.sum(axis=1)
-        cp = np.cumsum(obs, axis=1) / n_p[:, None]
-        ks = _round6(np.abs(cp - cq[None, :]).max(axis=1))
-        return pd.DataFrame({
-            part_col: piv.index.to_numpy(),
-            "n_rows": n_p.astype(np.int64),
-            "ks": ks,
-            "flagged": ks > threshold,
-        })
+        return ks_score_table(cdf, glob_c, total, n_bins, threshold,
+                              part_col=part_col)
 
     return _score_counts(counts, part_col, "bin", score_frame)
 
@@ -241,20 +285,7 @@ def chi2_drift(
     glob_c = glob.reindex(cats).to_numpy(np.float64)
 
     def score_frame(cdf: pd.DataFrame) -> pd.DataFrame:
-        piv = cdf.pivot_table(index=part_col, columns="cat", values="c",
-                              aggfunc="sum", fill_value=0)
-        piv = piv.reindex(columns=cats, fill_value=0)
-        obs = piv.to_numpy(np.float64)
-        n_p = obs.sum(axis=1)
-        e = (n_p[:, None] * glob_c[None, :]) / total
-        d = obs - e
-        contrib = _round6(d * d / e)
-        chi2 = _round6(contrib.sum(axis=1))
-        return pd.DataFrame({
-            part_col: piv.index.to_numpy(),
-            "n_rows": n_p.astype(np.int64),
-            "chi2": chi2,
-            "flagged": chi2 > threshold,
-        })
+        return chi2_score_table(cdf, cats, glob_c, total, threshold,
+                                part_col=part_col)
 
     return _score_counts(counts, part_col, "cat", score_frame)

@@ -557,6 +557,91 @@ def lang_gate_violations(lang_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.
     return _viol_table(rows)
 
 
+def length_hist(light: "ray.data.Dataset", cfg: ValidationConfig) -> pd.DataFrame:
+    """Per-(part, bin) counts of ``content_length`` for the drift gates —
+    one Arrow group-by pass over the materialized light table emitting
+    O(parts × drift_bins) rows per block; the driver folds the tiny
+    partials. Null lengths (quarantined content) count as length 0, i.e.
+    bin 0 — a corrupt all-null batch then shows up as mass concentration
+    exactly where the PSI/KS fences look."""
+    w, nb = float(cfg.drift_bin_width), int(cfg.drift_bins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        L = pc.fill_null(t["content_length"].cast(pa.float64()), 0.0)
+        Lnp = L.to_numpy(zero_copy_only=False)
+        b = np.maximum(np.minimum(np.floor(Lnp / w), nb - 1), 0).astype(np.int64)
+        base = pa.table({"part": t["part"], "bin": pa.array(b)})
+        g = base.group_by(["part", "bin"], use_threads=False).aggregate(
+            [("bin", "count")])
+        return pa.table({"part": g["part"], "bin": g["bin"],
+                         "n": g["bin_count"].cast(pa.int64())})
+
+    parts = light.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["part", "bin", "n"])
+    return parts.groupby(["part", "bin"], sort=False)["n"].sum().reset_index()
+
+
+def drift_gate_violations(
+    hist: pd.DataFrame, lang_stats: pd.DataFrame, cfg: ValidationConfig
+) -> pa.Table:
+    """Partition-level distribution-drift gates: PSI and binned-ECDF KS over
+    the content-length histogram, chi-squared over the lang frequencies —
+    the whole-distribution generalization of the reference's per-point
+    z-score/IQR fences (``copy_z_score.pipe:24-56``), scored by the SAME
+    ``pipelines/drift.py`` functions the standalone drift operators use."""
+    from .drift import chi2_score_table, ks_score_table, psi_score_table
+
+    rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+
+    def emit(check: str, part: int, value: float, note: str) -> None:
+        rows["check"].append(check)
+        rows["part"].append(int(part))
+        rows["repo"].append("")
+        rows["path"].append("")
+        rows["commit"].append("")
+        rows["value"].append(float(value))
+        rows["anomaly_type"].append("distribution-drift")
+        rows["note"].append(note)
+        rows["sha256"].append("")
+
+    wants_hist = {"psi_drift", "ks_drift"} & set(cfg.checks)
+    if wants_hist and len(hist):
+        nb = int(cfg.drift_bins)
+        glob = hist.groupby("bin", sort=False)["n"].sum()
+        glob_c = glob.reindex(range(nb), fill_value=0).to_numpy(np.float64)
+        total = float(glob_c.sum())
+        if "psi_drift" in cfg.checks:
+            sc = psi_score_table(hist, glob_c, total, nb, cfg.psi_threshold,
+                                 n_col="n")
+            for r in sc[sc["flagged"]].itertuples():
+                emit("psi_drift", r.part, r.psi,
+                     f"psi:{scalar.round_half_even(r.psi, 4)} "
+                     f"max:{cfg.psi_threshold} bins:{nb} "
+                     f"width:{cfg.drift_bin_width}")
+        if "ks_drift" in cfg.checks:
+            sc = ks_score_table(hist, glob_c, total, nb, cfg.ks_threshold,
+                                n_col="n")
+            for r in sc[sc["flagged"]].itertuples():
+                emit("ks_drift", r.part, r.ks,
+                     f"ks:{scalar.round_half_even(r.ks, 4)} "
+                     f"max:{cfg.ks_threshold} bins:{nb} "
+                     f"width:{cfg.drift_bin_width}")
+    if "chi2_drift" in cfg.checks and len(lang_stats):
+        glob = lang_stats.groupby("lang", sort=False)["n"].sum()
+        cats = sorted(glob.index.tolist())
+        glob_c = glob.reindex(cats).to_numpy(np.float64)
+        total = float(glob_c.sum())
+        sc = chi2_score_table(lang_stats, cats, glob_c, total,
+                              cfg.chi2_threshold, cat_col="lang", n_col="n")
+        for r in sc[sc["flagged"]].itertuples():
+            emit("chi2_drift", r.part, r.chi2,
+                 f"chi2:{scalar.round_half_even(r.chi2, 4)} "
+                 f"max:{cfg.chi2_threshold} cats:{len(cats)}")
+    return _viol_table(rows)
+
+
 def finish_moments(agg: pd.DataFrame) -> pd.DataFrame:
     n = agg["n"].to_numpy(dtype="float64")
     mean = agg["s"].to_numpy(dtype="float64") / n
@@ -1053,6 +1138,12 @@ def run(
         # the very check meant to catch all-null partitions)
         done = {p: rec for p, rec in done.items()
                 if "null_stats" in rec.get("metrics", {})}
+    drift_on = bool({"psi_drift", "ks_drift"} & set(cfg.checks))
+    if drift_on:
+        # same discipline as null_rate: a manifest written before the drift
+        # gates existed lacks the per-part length histogram — rescan
+        done = {p: rec for p, rec in done.items()
+                if "length_hist" in rec.get("metrics", {})}
     todo = sorted(p for p in parts if p not in done)
     skipped = sorted(p for p in parts if p in done)
 
@@ -1172,6 +1263,8 @@ def run(
         # moments + lang histogram + null rates fused into one scan (three
         # separate passes before; the fixed per-pass cost capped 4→16 scaling)
         new_stats, new_lang, new_null = combined_light_stats(light, cfg)
+        new_hist = (length_hist(light, cfg) if drift_on
+                    else pd.DataFrame(columns=["part", "bin", "n"]))
         rv_thread.join()
         if "e" in rv_box:
             raise rv_box["e"]
@@ -1220,12 +1313,18 @@ def run(
                  if "sha_xor" in nrow.columns else 0}
                 if len(nrow) else {"n": 0, "n_null": 0, "sha_xor": 0}
             )
+            metrics = {"n_range_violations": n_viol[p],
+                       "lang_counts": lang_snap,
+                       "null_stats": null_snap}
+            if drift_on:
+                metrics["length_hist"] = [
+                    {"bin": int(r.bin), "n": int(r.n)}
+                    for r in new_hist[new_hist["part"] == p].itertuples()
+                ]
             recs.append(dict(
                 part=p, fragments=parts[p], n_rows=n_rows,
                 stats_snapshot=_stats_to_snapshot(new_stats, p),
-                metrics={"n_range_violations": n_viol[p],
-                         "lang_counts": lang_snap,
-                         "null_stats": null_snap},
+                metrics=metrics,
             ))
         manifest.mark_done_many(recs)
 
@@ -1267,6 +1366,21 @@ def run(
         if null_non_empty
         else pd.DataFrame(columns=["part", "n", "n_null"])
     )
+    old_hist = pd.DataFrame(
+        [
+            {"part": p, "bin": d["bin"], "n": d["n"]}
+            for p, rec in done.items()
+            for d in rec.get("metrics", {}).get("length_hist", [])
+        ],
+        columns=["part", "bin", "n"],
+    )
+    hist_non_empty = [x for x in (old_hist, new_hist if todo else old_hist.iloc[0:0])
+                      if len(x)]
+    hist = (
+        pd.concat(hist_non_empty, ignore_index=True)
+        if hist_non_empty
+        else pd.DataFrame(columns=["part", "bin", "n"])
+    )
 
     # ---- phase 2: join the concurrent key-only scan -----------------------
     if seq_uniq:
@@ -1302,10 +1416,16 @@ def run(
         else _viol_table({c: [] for c in VIOLATION_COLS})
     )
     null_gates = null_tbl.to_pandas()
+    drift_tbl = (
+        drift_gate_violations(hist, lang_stats, cfg)
+        if drift_on or "chi2_drift" in cfg.checks
+        else _viol_table({c: [] for c in VIOLATION_COLS})
+    )
+    drift_gates = drift_tbl.to_pandas()
     _mark("gates")
 
     # ---- assemble ----------------------------------------------------------
-    extra = [f for f in (lang_gates, null_gates) if len(f)]
+    extra = [f for f in (lang_gates, null_gates, drift_gates) if len(f)]
     gates = pd.concat([gates, *extra], ignore_index=True) if extra else gates
     range_df = pd.concat(
         [
@@ -1338,7 +1458,7 @@ def run(
     os.makedirs(tmp, exist_ok=True)
     pieces = [gates_ds] + [
         ray.data.from_arrow(t)
-        for t in (uniq_tbl, ref_tbl, lang_tbl, null_tbl)
+        for t in (uniq_tbl, ref_tbl, lang_tbl, null_tbl, drift_tbl)
         if t.num_rows
     ]
     global_ds = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
