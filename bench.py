@@ -154,6 +154,9 @@ def run_bench() -> dict:
         "doc_heavy_tokens": TEXT_QUERIES["doc_heavy_tokens"],
         "ann_topk": TEXT_QUERIES["ann_topk"],
         "ann_ivf_topk": TEXT_QUERIES["ann_ivf_topk"],
+        "doc_lm_perplexity": TEXT_QUERIES["doc_lm_perplexity"],
+        "doc_shared_passages": TEXT_QUERIES["doc_shared_passages"],
+        "drift_psi_sources": VALIDATION_QUERIES["drift_psi_sources"],
         "events_sessionize": STREAM_QUERIES["events_sessionize"],
         "events_asof_join": STREAM_QUERIES["events_asof_join"],
         "events_range_join": STREAM_QUERIES["events_range_join"],
