@@ -199,3 +199,41 @@ def test_cap_per_key_deterministic_and_layout_invariant(ray_session):
                [["event_id", "user_id", "samp_h"]])
         pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert got.groupby("user_id").size().le(3).all()
+
+
+def test_temperature_sample_rebalances_and_is_deterministic(ray_session):
+    """alpha<1 upsamples the small source: its realized keep-fraction must
+    exceed the big source's; output is layout-invariant and md5-exact."""
+    import hashlib
+
+    big = 9000
+    small = 300
+    tab = pa.table({
+        "doc_id": pa.array(range(big + small), pa.int64()),
+        "source": pa.array(["big"] * big + ["small"] * small),
+    })
+    ds1 = ray.data.from_arrow(tab).repartition(7)
+    ds2 = ray.data.from_arrow(tab).repartition(2)
+    a = SO.temperature_sample(ds1, alpha=0.3, target_frac=0.5).to_pandas()
+    b = SO.temperature_sample(ds2, alpha=0.3, target_frac=0.5).to_pandas()
+    key = ["doc_id", "source"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True),
+        b.sort_values(key, ignore_index=True))
+    fr = a.groupby("source").size()
+    # exact thresholds, brute-force recomputed
+    n = np.array([big, small], np.float64)
+    ws = np.power(n, 0.3)
+    fs = np.minimum(1.0, 0.5 * n.sum() * ws / ws.sum() / n)
+    fs = np.floor(fs * 1e6 + 0.5) / 1e6
+    cuts = dict(zip(["big", "small"], (np.floor(fs * 2**32)).astype(np.int64)))
+    for src, lo, hi in (("big", 0, big), ("small", big, big + small)):
+        want = sum(
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+            < cuts[src]
+            for i in range(lo, hi))
+        assert fr.get(src, 0) == want
+    # rebalancing: the small source keeps a larger fraction than the big one
+    assert fr["small"] / small > fr["big"] / big
+    # and the big source is actually subsampled
+    assert fr["big"] < big

@@ -395,6 +395,58 @@ def hash_sample(
     return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def temperature_sample(
+    docs: "ray.data.Dataset",
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+) -> "ray.data.Dataset":
+    """Temperature-based source mixing: sample each partition with a
+    keep-fraction proportional to ``n_s^alpha`` (the multilingual /
+    multi-source rebalancing rule of LLM data prep — alpha < 1 upsamples
+    small sources relative to their share, alpha = 1 is proportional).
+
+    ``f_s = min(1, target_frac · N · n_s^α / Σ n_t^α / n_s)``, rounded
+    half-up to 1e-6 so the oracle's POW/SUM compute the identical cut;
+    a row is kept iff the first 32 bits of ``md5(str(id))`` fall under
+    ``floor(f_s · 2^32)`` — the same deterministic, engine/cluster/layout
+    independent pick as :func:`hash_sample`.
+
+    Scale shape: one ``group_count`` over ``part_col`` (tiny), thresholds
+    broadcast by closure, then a stateless map-only filter — no shuffle
+    of the corpus.
+    """
+    from ..stages.reduce import group_count, to_arrow_single
+
+    counts = to_arrow_single(group_count(
+        docs.map_batches(lambda t: pa.table({part_col: t[part_col]}),
+                         batch_format="pyarrow"),
+        [part_col], out_col="n")).to_pandas()
+    n = counts["n"].to_numpy(np.float64)
+    ws = np.power(n, alpha)
+    wsum = float(ws.sum())
+    n_total = float(n.sum())
+    fs = np.minimum(1.0, target_frac * n_total * ws / wsum / n)
+    fs = np.floor(fs * 1e6 + 0.5) / 1e6
+    cuts = {p: int(np.floor(f * 4294967296.0))
+            for p, f in zip(counts[part_col], fs)}
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hv = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big")
+             for i in ids),
+            np.int64, len(ids),
+        )
+        cut = np.fromiter((cuts.get(p, 0) for p in t[part_col].to_pylist()),
+                          np.int64, t.num_rows)
+        return t.filter(pa.array(hv < cut))
+
+    return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def cap_per_key(
     ds: "ray.data.Dataset",
     key: str,
@@ -480,6 +532,11 @@ def q_doc_sample_stratified(sf_dir: str):
     return hash_sample(docs)
 
 
+def q_doc_sample_temperature(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return temperature_sample(docs, alpha=0.3, target_frac=0.5)
+
+
 STREAM_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -487,6 +544,7 @@ STREAM_QUERIES = {
     "events_hourly_windows": q_events_hourly_windows,
     "events_cap_per_user": q_events_cap_per_user,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_sample_temperature": q_doc_sample_temperature,
 }
 
 SQL_SESSIONIZE = f"""
@@ -544,6 +602,22 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
              ELSE {SAMPLE_DEFAULT_THRESHOLD} END
 """
 
+SQL_SAMPLE_TEMPERATURE = """
+WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, POW(n, 0.3) AS ws FROM n),
+tot AS (SELECT sum(n) AS n_total, sum(ws) AS wsum FROM w),
+f AS (SELECT source,
+             FLOOR(LEAST(1.0, 0.5 * (SELECT n_total FROM tot) * ws
+                                / (SELECT wsum FROM tot) / n)
+                   * 1e6 + 0.5) / 1e6 AS fs
+      FROM w),
+th AS (SELECT source, CAST(FLOOR(fs * 4294967296.0) AS BIGINT) AS cut FROM f)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      < th.cut
+"""
+
 STREAM_ORACLE = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_asof_join": SQL_ASOF,
@@ -551,4 +625,5 @@ STREAM_ORACLE = {
     "events_hourly_windows": SQL_HOURLY,
     "events_cap_per_user": SQL_CAP_PER_USER,
     "doc_sample_stratified": SQL_SAMPLE,
+    "doc_sample_temperature": SQL_SAMPLE_TEMPERATURE,
 }
