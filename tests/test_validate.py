@@ -429,3 +429,36 @@ def test_drift_gates_skipped_when_not_requested(corpus, tmp_path_factory,
                                                "chi2_drift"}
     assert not set(res.verdicts["check"]) & {"psi_drift", "ks_drift",
                                              "chi2_drift"}
+
+
+def test_drift_resume_rescans_on_binning_param_change(tmp_path_factory,
+                                                      ray_session):
+    """A resume under different drift binning params must rescan, never
+    reinterpret old histogram counts on a new grid."""
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("driftpc") / "c")
+    generate_corpus(d, CorpusSpec(n_parts=3, rows_per_part=200,
+                                  n_out_of_range=0, n_duplicates=0,
+                                  n_dangling=0))
+    odir = str(tmp_path_factory.mktemp("driftpo") / "o")
+    cfg1 = ValidationConfig(checks=CFG.checks + ("psi_drift", "ks_drift"))
+    res1 = validate.run(d, odir, cfg1)
+    assert res1.parts_skipped == []
+    # same params -> resume skips everything
+    res2 = validate.run(d, odir, cfg1)
+    assert res2.parts_scanned == []
+    # changed bin width -> every part rescans under the new grid
+    cfg2 = ValidationConfig(checks=cfg1.checks, drift_bin_width=50.0,
+                            drift_bins=40)
+    res3 = validate.run(d, odir, cfg2)
+    assert res3.parts_scanned == [0, 1, 2]
+    # and a fresh run under cfg2 agrees with the resumed one
+    odir2 = str(tmp_path_factory.mktemp("driftpo2") / "o")
+    res4 = validate.run(d, odir2, cfg2)
+    cols = list(res3.violations.columns)
+    pd.testing.assert_frame_equal(
+        res3.violations.sort_values(cols, ignore_index=True),
+        res4.violations.sort_values(cols, ignore_index=True))

@@ -67,7 +67,7 @@ REGISTRY: dict[str, Check] = {
         Check("psi_drift", "distribution-drift", "gate",
               "tinybird/pipes/copy_z_score.pipe:24-56 (point fence -> "
               "partition-histogram PSI fence)",
-              ("bin_width", "n_bins", "psi_threshold")),
+              ("drift_bin_width", "drift_bins", "psi_threshold")),
         Check("chi2_drift", "distribution-drift", "gate",
               "tinybird/pipes/copy_iqr.pipe:45-82 (point fence -> "
               "categorical chi-squared fence)",
@@ -75,7 +75,7 @@ REGISTRY: dict[str, Check] = {
         Check("ks_drift", "distribution-drift", "gate",
               "tinybird/pipes/copy_z_score.pipe:24-56 (point fence -> "
               "binned-ECDF Kolmogorov-Smirnov fence)",
-              ("bin_width", "n_bins", "ks_threshold")),
+              ("drift_bin_width", "drift_bins", "ks_threshold")),
         Check("uniqueness", "uniqueness", "key",
               "tinybird/pipes/dedup_log.pipe:6 (key machinery)",
               ()),

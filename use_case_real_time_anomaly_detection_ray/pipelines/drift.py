@@ -123,6 +123,32 @@ def chi2_score_table(cdf: pd.DataFrame, cats: list, glob_c: np.ndarray,
     })
 
 
+def _binned_counts(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> tuple["ray.data.Dataset", np.ndarray, float]:
+    """Shared binning head of :func:`psi_drift` / :func:`ks_drift`: clamp
+    ``floor(value / bin_width)`` into ``[0, n_bins)`` (nulls/NaN count as
+    value 0 → bin 0, matching ``validate.length_hist``'s treatment of
+    quarantined content), count per (part, bin), and fold the global bin
+    totals. Returns (counts Dataset, global bin-count vector, N)."""
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.nan_to_num(v, nan=0.0)
+        b = np.minimum(np.floor(v / bin_width), n_bins - 1)
+        b = np.maximum(b, 0.0).astype(np.int64)
+        return pa.table({part_col: t[part_col], "bin": pa.array(b)})
+
+    binned = ds.map_batches(add_bin, batch_format="pyarrow")
+    counts, glob, total = _counts_and_global(binned, part_col, "bin")
+    glob_c = glob.reindex(range(n_bins), fill_value=0).to_numpy(np.float64)
+    return counts, glob_c, total
+
+
 def _counts_and_global(
     binned: "ray.data.Dataset", part_col: str, bin_col: str
 ) -> tuple["ray.data.Dataset", pd.Series, float]:
@@ -197,16 +223,8 @@ def psi_drift(
 
     Returns one row per partition: ``(part, n_rows, psi, flagged)``.
     """
-
-    def add_bin(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.minimum(np.floor(v / bin_width), n_bins - 1)
-        b = np.maximum(b, 0.0).astype(np.int64)
-        return pa.table({part_col: t[part_col], "bin": pa.array(b)})
-
-    binned = ds.map_batches(add_bin, batch_format="pyarrow")
-    counts, glob, total = _counts_and_global(binned, part_col, "bin")
-    glob_c = glob.reindex(range(n_bins), fill_value=0).to_numpy(np.float64)
+    counts, glob_c, total = _binned_counts(ds, part_col, value_col,
+                                           bin_width, n_bins)
 
     def score_frame(cdf: pd.DataFrame) -> pd.DataFrame:
         return psi_score_table(cdf, glob_c, total, n_bins, threshold,
@@ -236,16 +254,8 @@ def ks_drift(
     construction; the final half-up 1e-6 rounding only pins the printed
     grid. Same count machinery and scale shape as :func:`psi_drift`.
     """
-
-    def add_bin(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.minimum(np.floor(v / bin_width), n_bins - 1)
-        b = np.maximum(b, 0.0).astype(np.int64)
-        return pa.table({part_col: t[part_col], "bin": pa.array(b)})
-
-    binned = ds.map_batches(add_bin, batch_format="pyarrow")
-    counts, glob, total = _counts_and_global(binned, part_col, "bin")
-    glob_c = glob.reindex(range(n_bins), fill_value=0).to_numpy(np.float64)
+    counts, glob_c, total = _binned_counts(ds, part_col, value_col,
+                                           bin_width, n_bins)
 
     def score_frame(cdf: pd.DataFrame) -> pd.DataFrame:
         return ks_score_table(cdf, glob_c, total, n_bins, threshold,

@@ -2023,6 +2023,9 @@ def lm_perplexity(
     # bucketed scale path: (doc, bg, c) rows meet the model tables by
     # bigram-hash, then prefix-hash, then fold per doc-hash bucket
     # ------------------------------------------------------------------
+    sch = ds.schema()  # ray.data Schema: .names / .types, no .field
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
     def db_partial(t: pa.Table) -> pa.Table:
         docs, bgs, cs = [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
@@ -2033,7 +2036,7 @@ def lm_perplexity(
             docs.extend([did] * len(c))
             bgs.extend(c.keys())
             cs.extend(c.values())
-        return pa.table({id_col: pa.array(docs, pa.int64()),
+        return pa.table({id_col: pa.array(docs, t.schema.field(id_col).type),
                          "bg": pa.array(bgs, pa.string()),
                          "c": pa.array(cs, pa.int64())})
 
@@ -2046,7 +2049,7 @@ def lm_perplexity(
             cols[name] = values.get(name, pa.nulls(t.num_rows, typ))
         return pa.table(cols)
 
-    hop1_schema = {id_col: pa.int64(), "bg": pa.string(), "c": pa.int64(),
+    hop1_schema = {id_col: id_type, "bg": pa.string(), "c": pa.int64(),
                    "n_model": pa.int64()}
     left1 = db.map_batches(
         lambda t: tag(t, hop1_schema,
@@ -2056,12 +2059,16 @@ def lm_perplexity(
         lambda t: tag(t, hop1_schema, {"bg": t["bg"], "n_model": t["n"]}),
         batch_format="pyarrow")
 
+    id_is_int = pa.types.is_integer(id_type)
+
     def attach_bg(g: pd.DataFrame) -> pd.DataFrame:
         model = g[g[id_col].isna()].set_index("bg")["n_model"]
         rows = g[g[id_col].notna()].copy()
         # the null-tagged union upcasts int columns through pandas NaN —
-        # restore the integer dtypes after the filter
-        rows[id_col] = rows[id_col].astype(np.int64)
+        # restore the integer dtypes after the filter (string ids pass
+        # through as objects, no upcast to undo)
+        if id_is_int:
+            rows[id_col] = rows[id_col].astype(np.int64)
         rows["c"] = rows["c"].astype(np.int64)
         rows["cbg"] = rows["bg"].map(model).astype(np.int64)
         rows["w1"] = [b.split(SEP, 1)[0] for b in rows["bg"]]
@@ -2069,7 +2076,7 @@ def lm_perplexity(
 
     hop1 = bucketed_merge(left1.union(right1), ["bg"], attach_bg, num_buckets)
 
-    hop2_schema = {id_col: pa.int64(), "w1": pa.string(), "c": pa.int64(),
+    hop2_schema = {id_col: id_type, "w1": pa.string(), "c": pa.int64(),
                    "cbg": pa.int64(), "n_model": pa.int64()}
     left2 = hop1.map_batches(
         lambda t: tag(t, hop2_schema,
@@ -2083,7 +2090,8 @@ def lm_perplexity(
     def attach_w1(g: pd.DataFrame) -> pd.DataFrame:
         model = g[g[id_col].isna()].set_index("w1")["n_model"]
         rows = g[g[id_col].notna()].copy()
-        rows[id_col] = rows[id_col].astype(np.int64)
+        if id_is_int:
+            rows[id_col] = rows[id_col].astype(np.int64)
         rows["c"] = rows["c"].astype(np.int64)
         cw1 = rows["w1"].map(model).astype(np.int64).to_numpy(np.float64)
         p = (rows["cbg"].to_numpy(np.float64) + alpha) / (cw1 + denom_add)
@@ -2143,15 +2151,18 @@ def shared_passages(
             occs.extend(c.values())
         return pa.table({
             "gram": pa.array(grams, pa.string()),
-            id_col: pa.array(docs, pa.int64()),
+            id_col: pa.array(docs, t.schema.field(id_col).type),
             "c": pa.array(occs, pa.int64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # nunique, not size: a duplicated doc_id (the very ingest defect the
+        # dedup operators hunt) must not let a single document satisfy
+        # min_docs — matches the oracle's count(DISTINCT doc_id)
         agg = g.groupby("gram", sort=False).agg(
-            n_docs=(id_col, "size"), n_occ=("c", "sum")).reset_index()
+            n_docs=(id_col, "nunique"), n_occ=("c", "sum")).reset_index()
         return agg[agg["n_docs"] >= min_docs]
 
     return bucketed_merge(parts, ["gram"], merge)

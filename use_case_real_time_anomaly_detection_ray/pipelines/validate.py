@@ -1139,11 +1139,16 @@ def run(
         done = {p: rec for p, rec in done.items()
                 if "null_stats" in rec.get("metrics", {})}
     drift_on = bool({"psi_drift", "ks_drift"} & set(cfg.checks))
+    hist_meta = {"w": float(cfg.drift_bin_width), "nb": int(cfg.drift_bins)}
     if drift_on:
         # same discipline as null_rate: a manifest written before the drift
-        # gates existed lacks the per-part length histogram — rescan
+        # gates existed lacks the per-part length histogram — rescan. The
+        # snapshot also pins the BINNING PARAMS: a resume under a different
+        # bin width/count must rescan, not reinterpret old counts on a new
+        # grid (silently wrong PSI/KS otherwise)
         done = {p: rec for p, rec in done.items()
-                if "length_hist" in rec.get("metrics", {})}
+                if "length_hist" in rec.get("metrics", {})
+                and rec["metrics"].get("length_hist_meta") == hist_meta}
     todo = sorted(p for p in parts if p not in done)
     skipped = sorted(p for p in parts if p in done)
 
@@ -1260,11 +1265,30 @@ def run(
 
         rv_thread = threading.Thread(target=_run_range, daemon=True)
         rv_thread.start()
+        # the drift histogram is another independent consumer of the
+        # materialized light table — overlap it too (a serialized fourth
+        # pass would reintroduce exactly the fixed per-pass cost the fused
+        # scan below exists to avoid)
+        hist_box: dict[str, Any] = {}
+
+        def _run_hist() -> None:
+            try:
+                hist_box["t"] = length_hist(light, cfg)
+            except Exception as e:
+                hist_box["e"] = e
+
+        hist_thread = None
+        if drift_on:
+            hist_thread = threading.Thread(target=_run_hist, daemon=True)
+            hist_thread.start()
         # moments + lang histogram + null rates fused into one scan (three
         # separate passes before; the fixed per-pass cost capped 4→16 scaling)
         new_stats, new_lang, new_null = combined_light_stats(light, cfg)
-        new_hist = (length_hist(light, cfg) if drift_on
-                    else pd.DataFrame(columns=["part", "bin", "n"]))
+        if hist_thread is not None:
+            hist_thread.join()
+            if "e" in hist_box:
+                raise hist_box["e"]
+        new_hist = hist_box.get("t", pd.DataFrame(columns=["part", "bin", "n"]))
         rv_thread.join()
         if "e" in rv_box:
             raise rv_box["e"]
@@ -1321,6 +1345,7 @@ def run(
                     {"bin": int(r.bin), "n": int(r.n)}
                     for r in new_hist[new_hist["part"] == p].itertuples()
                 ]
+                metrics["length_hist_meta"] = hist_meta
             recs.append(dict(
                 part=p, fragments=parts[p], n_rows=n_rows,
                 stats_snapshot=_stats_to_snapshot(new_stats, p),
