@@ -462,3 +462,53 @@ def test_drift_resume_rescans_on_binning_param_change(tmp_path_factory,
     pd.testing.assert_frame_equal(
         res3.violations.sort_values(cols, ignore_index=True),
         res4.violations.sort_values(cols, ignore_index=True))
+
+
+def test_schema_check_flags_contract_defects(tmp_path_factory, ray_session):
+    """A fragment missing a contract column and one with a mistyped column
+    are flagged per (part, defect); clean parts pass. Metadata-only: the
+    defective CONTENT is never scanned (the mistyped part still validates
+    through the other checks on its remaining columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("schemac") / "c")
+    generate_corpus(d, CorpusSpec(n_parts=3, rows_per_part=200,
+                                  n_out_of_range=0, n_duplicates=0,
+                                  n_dangling=0))
+    # part 1: drop 'lang'; part 2: retype 'commit' to int64
+    f1 = os.path.join(d, "part=1", "data.parquet")
+    t1 = pq.read_table(f1)
+    pq.write_table(t1.drop_columns(["lang"]), f1)
+    f2 = os.path.join(d, "part=2", "data.parquet")
+    t2 = pq.read_table(f2)
+    i = t2.schema.get_field_index("commit")
+    t2 = t2.set_column(i, "commit",
+                       pa.array(range(t2.num_rows), pa.int64()))
+    pq.write_table(t2, f2)
+
+    # full default check set: the malformed partitions are QUARANTINED from
+    # the content/key scans, so the run completes despite columns the other
+    # checks require being missing/mistyped
+    odir = str(tmp_path_factory.mktemp("schemao") / "o")
+    res = validate.run(d, odir, CFG)
+    assert res.parts_scanned == [0]
+    sv = res.violations[res.violations.check == "schema"]
+    assert sorted(sv["part"].astype(int)) == [1, 2]
+    by = sv.set_index(sv["part"].astype(int))
+    assert "missing column 'lang'" in by.loc[1, "note"]
+    assert "column 'commit' type int64 != string" in by.loc[2, "note"]
+    assert by.loc[1, "anomaly_type"] == "schema"
+    v = res.verdicts[res.verdicts.check == "schema"]
+    assert set(v[v.status == "fail"]["part"].astype(int)) == {1, 2}
+    assert (v[v.part == 0].status == "pass").all()
+    # quarantined parts: every non-schema verdict reads "skipped", never
+    # a false "pass"
+    q = res.verdicts[res.verdicts.part.isin([1, 2])
+                     & (res.verdicts.check != "schema")]
+    assert (q.status == "skipped").all()
+    clean = res.verdicts[res.verdicts.part == 0]
+    assert "skipped" not in set(clean.status)

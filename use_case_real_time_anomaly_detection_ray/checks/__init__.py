@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Literal
 
-Kind = Literal["row", "key", "gate"]
+Kind = Literal["row", "key", "gate", "schema"]
 
 
 @dataclass(frozen=True)
@@ -27,6 +27,7 @@ class Check:
     * ``kind="key"``   — key-space scan (uniqueness, referential).
     * ``kind="gate"``  — distribution gate over the (repo, part) aggregate
       (z-score, IQR, drift-rate, staleness).
+    * ``kind="schema"`` — metadata-only contract check over parquet footers.
     """
 
     name: str
@@ -39,6 +40,10 @@ class Check:
 REGISTRY: dict[str, Check] = {
     c.name: c
     for c in [
+        Check("schema", "schema", "schema",
+              "BASELINE.json north_rule ('schema + constraint validation'); "
+              "input_hint column contract",
+              ()),
         Check("range", "out-of-range", "row",
               "tinybird/pipes/copy_out_of_range.pipe:32",
               ("min_len", "max_len")),

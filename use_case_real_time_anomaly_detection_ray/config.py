@@ -96,6 +96,7 @@ class ValidationConfig:
     # exact quantiles below this many rows per group; t-digest above
     exact_quantile_limit: int = 1_000_000
     checks: tuple[str, ...] = (
+        "schema",
         "range",
         "null_rate",
         "staleness",
@@ -120,4 +121,5 @@ ANOMALY_TYPES = (
 )
 
 #: Target-only additions for the validation engine (BASELINE.json north_star).
-EXTRA_ANOMALY_TYPES = ("uniqueness", "referential")
+EXTRA_ANOMALY_TYPES = ("uniqueness", "referential", "schema",
+                       "distribution-drift", "null-rate")

@@ -557,6 +557,55 @@ def lang_gate_violations(lang_stats: pd.DataFrame, cfg: ValidationConfig) -> pa.
     return _viol_table(rows)
 
 
+#: expected column contract of the code corpus (BASELINE.json input_hint:
+#: ``repo:string, path:string, commit:string, lang:string, content:string``)
+SCHEMA_CONTRACT: dict[str, tuple] = {
+    "repo": (pa.string(), pa.large_string()),
+    "path": (pa.string(), pa.large_string()),
+    "commit": (pa.string(), pa.large_string()),
+    "lang": (pa.string(), pa.large_string()),
+    "content": (pa.string(), pa.large_string()),
+}
+
+
+def schema_violations(parts: dict[int, list[str]]) -> pa.Table:
+    """Schema-contract check — the literal "schema" half of "schema +
+    constraint validation" (BASELINE.json north_rule): every partition's
+    parquet footer must carry the contract columns with string types.
+    Metadata-only (``pq.read_schema`` per fragment — no data scan), so it
+    runs on EVERY part each run like referential, needing no manifest
+    snapshot; one violation row per (part, defect), value = defect count
+    of that fragment's schema."""
+    rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+
+    def emit(part: int, path: str, n_defects: int, note: str) -> None:
+        rows["check"].append("schema")
+        rows["part"].append(int(part))
+        rows["repo"].append("")
+        rows["path"].append(path)
+        rows["commit"].append("")
+        rows["value"].append(float(n_defects))
+        rows["anomaly_type"].append("schema")
+        rows["note"].append(note)
+        rows["sha256"].append("")
+
+    for part in sorted(parts):
+        for frag in parts[part]:
+            sch = pq.read_schema(frag)
+            have = {n: sch.field(n).type for n in sch.names}
+            defects = []
+            for col, ok_types in SCHEMA_CONTRACT.items():
+                if col not in have:
+                    defects.append(f"missing column '{col}'")
+                elif have[col] not in ok_types:
+                    defects.append(
+                        f"column '{col}' type {have[col]} != string")
+            if defects:
+                emit(part, os.path.basename(frag), len(defects),
+                     "schema: " + "; ".join(defects))
+    return _viol_table(rows)
+
+
 def length_hist(light: "ray.data.Dataset", cfg: ValidationConfig) -> pd.DataFrame:
     """Per-(part, bin) counts of ``content_length`` for the drift gates —
     one Arrow group-by pass over the materialized light table emitting
@@ -1128,6 +1177,20 @@ def run(
     os.makedirs(out_dir, exist_ok=True)
     parts = discover_parts(corpus_dir)
     global_max_part = max(parts)
+    # ---- phase 0: schema contract (metadata-only, runs FIRST) -------------
+    # a partition violating the column contract is QUARANTINED: excluded
+    # from the content/key scans (its malformed columns would crash them —
+    # one corrupt partition must never kill the run), flagged by the schema
+    # check, and its other per-part verdicts read "skipped". It writes no
+    # manifest record, so a repaired file rescans on the next run.
+    schema_tbl = (
+        schema_violations(parts)
+        if "schema" in cfg.checks
+        else _viol_table({c: [] for c in VIOLATION_COLS})
+    )
+    quarantined: set[int] = (
+        set(schema_tbl["part"].to_pylist()) if schema_tbl.num_rows else set()
+    )
     manifest = Manifest(out_dir)
     done = manifest.done_parts() if resume else {}
     if "null_rate" in cfg.checks:
@@ -1149,7 +1212,7 @@ def run(
         done = {p: rec for p, rec in done.items()
                 if "length_hist" in rec.get("metrics", {})
                 and rec["metrics"].get("length_hist_meta") == hist_meta}
-    todo = sorted(p for p in parts if p not in done)
+    todo = sorted(p for p in parts if p not in done and p not in quarantined)
     skipped = sorted(p for p in parts if p in done)
 
     # ---- phase 2 (uniqueness) scheduling ----------------------------------
@@ -1184,7 +1247,8 @@ def run(
     # dataset CONSTRUCTION happens on the main thread (read_parquet's
     # lazy fsspec imports are not thread-safe on first touch); only
     # execution runs in the background thread
-    uniq_files = [f for frags in parts.values() for f in frags]
+    uniq_files = [f for p, frags in parts.items() if p not in quarantined
+                  for f in frags]
     if uniq_from_light:
         _, uniq_keys_ds = _uniq_reads(uniq_files)  # candidate-fetch side only
     else:
@@ -1447,19 +1511,24 @@ def run(
         else _viol_table({c: [] for c in VIOLATION_COLS})
     )
     drift_gates = drift_tbl.to_pandas()
+    schema_v = schema_tbl.to_pandas()  # computed in phase 0
     _mark("gates")
 
     # ---- assemble ----------------------------------------------------------
-    extra = [f for f in (lang_gates, null_gates, drift_gates) if len(f)]
+    extra = [f for f in (lang_gates, null_gates, drift_gates, schema_v)
+             if len(f)]
     gates = pd.concat([gates, *extra], ignore_index=True) if extra else gates
-    range_df = pd.concat(
-        [
-            pq.read_table(
-                os.path.join(out_dir, "violations", f"part={p}", "violations.parquet")
-            ).to_pandas()
-            for p in sorted(parts)
-        ],
-        ignore_index=True,
+    range_paths = [
+        os.path.join(out_dir, "violations", f"part={p}", "violations.parquet")
+        for p in sorted(parts)
+    ]
+    range_frames = [pq.read_table(rp).to_pandas() for rp in range_paths
+                    if os.path.exists(rp)]
+    range_df = (
+        # quarantined parts never scanned, so never wrote a per-part file
+        pd.concat(range_frames, ignore_index=True)
+        if range_frames
+        else _viol_table({c: [] for c in VIOLATION_COLS}).to_pandas()
     )
     frames = [f for f in (range_df, uniq, ref, gates) if len(f)]
     violations = (
@@ -1483,7 +1552,8 @@ def run(
     os.makedirs(tmp, exist_ok=True)
     pieces = [gates_ds] + [
         ray.data.from_arrow(t)
-        for t in (uniq_tbl, ref_tbl, lang_tbl, null_tbl, drift_tbl)
+        for t in (uniq_tbl, ref_tbl, lang_tbl, null_tbl, drift_tbl,
+                  schema_tbl)
         if t.num_rows
     ]
     global_ds = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
@@ -1510,6 +1580,11 @@ def run(
     verdicts = grid.merge(vio_counts, on=["part", "check"], how="left")
     verdicts["n_violations"] = verdicts["n_violations"].fillna(0).astype("int64")
     verdicts["status"] = np.where(verdicts["n_violations"] > 0, "fail", "pass")
+    if quarantined:
+        # a quarantined part's non-schema checks never ran — saying "pass"
+        # would be a lie; "skipped" is the honest verdict
+        qmask = verdicts["part"].isin(quarantined) & (verdicts["check"] != "schema")
+        verdicts.loc[qmask, "status"] = "skipped"
     verdicts["n_checked"] = verdicts["part"].map(lambda p: part_rows.get(p, 0)).astype("int64")
     verdicts = verdicts[["part", "check", "status", "n_checked", "n_violations"]]
     _mark("assemble")
