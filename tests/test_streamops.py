@@ -237,3 +237,42 @@ def test_temperature_sample_rebalances_and_is_deterministic(ray_session):
     assert fr["small"] / small > fr["big"] / big
     # and the big source is actually subsampled
     assert fr["big"] < big
+
+
+def test_window_funnel_semantics(ray_session):
+    """Hand-built funnel cases: full progression, window cutoff, equal-ts
+    progression, step-order enforcement, absent step-1 users."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def T(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # u1: view@0 click@1 purchase@2 -> level 3
+        (1, T(0), "view"), (1, T(1), "click"), (1, T(2), "purchase"),
+        # u2: view@0 click@1 purchase@100 (beyond 48h window) -> level 2
+        (2, T(0), "view"), (2, T(1), "click"), (2, T(100), "purchase"),
+        # u3: purchase@0 click@1 view@2 (wrong order after first view) -> 1
+        (3, T(0), "purchase"), (3, T(1), "click"), (3, T(2), "view"),
+        # u4: equal timestamps progress (>= semantics) -> level 3
+        (4, T(5), "view"), (4, T(5), "click"), (4, T(5), "purchase"),
+        # u5: no view at all -> no output row
+        (5, T(0), "click"), (5, T(1), "purchase"),
+        # u6: view@0 then click beyond window@50 -> level 1
+        (6, T(0), "view"), (6, T(50), "click"), (6, T(51), "purchase"),
+    ]
+    tab = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    ds = ray.data.from_arrow(tab).repartition(3)
+    got = (SO.window_funnel(ds, ("view", "click", "purchase"),
+                            window_us=48 * 3_600_000_000)
+           .to_pandas().set_index("user_id").sort_index())
+    assert got.index.tolist() == [1, 2, 3, 4, 6]
+    assert got["funnel_level"].tolist() == [3, 2, 1, 3, 1]
+    assert got.loc[1, "t_first"] == T(0)
+    assert got.loc[4, "t_first"] == T(5)

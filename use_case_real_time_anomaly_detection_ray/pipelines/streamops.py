@@ -395,6 +395,109 @@ def hash_sample(
     return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def window_funnel(
+    events: "ray.data.Dataset",
+    steps: tuple[str, ...],
+    window_us: int = 48 * _US_PER_HOUR,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Funnel analysis per user — the earliest-completion variant of
+    ClickHouse's ``windowFunnel`` (the reference engine's native funnel
+    primitive, which Ray Data lacks): ``t_1 = min ts`` of step 1, then
+    greedily ``t_{k+1} = min ts ≥ t_k`` of step k+1 (equal timestamps may
+    progress); ``funnel_level`` = deepest k whose ``t_k − t_1 ≤ window``.
+    This greedy-from-earliest definition is deterministic AND
+    SQL-expressible (chained min-over-filtered joins), so the driver gets
+    a full rows+schema+hash oracle — unlike CH's scan semantics.
+
+    Output: one row per user that performed step 1 —
+    ``(user_id, funnel_level, t_first)``.
+
+    Distributed shape: filter to the step types (map-only, tagging each
+    row with its step index), hash-bucket by user, then a fully
+    vectorized per-bucket pass: ONE lexsort to composite
+    (dense-user × span + ts) keys, and per funnel stage ONE
+    ``np.searchsorted`` of the survivors' previous timestamps into that
+    stage's key array — no per-user Python loop (the ``range_join_count``
+    discipline). Only (user_id, ts, event_type) shuffle."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    step_ix = {s: k for k, s in enumerate(steps)}
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(list(steps)))
+        t = t.filter(keep)
+        st = np.fromiter((step_ix[x] for x in t["event_type"].to_pylist()),
+                         np.int8, t.num_rows)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "step": pa.array(st)})
+
+    tagged = events.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def merge(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        st = g["step"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s, st_s = uid[order], ts[order], st[order]
+        uniq, dense = np.unique(uid_s, return_inverse=True)
+        ts0 = ts_s.min() if len(ts_s) else 0
+        span = (ts_s.max() - ts0 + 1) if len(ts_s) else 1
+        if len(uniq) and len(uniq) > (2 ** 62) // span:
+            raise OverflowError(
+                f"{len(uniq)} users × {span} μs span overflows the composite "
+                "key — raise num_buckets"
+            )
+        key_s = dense * span + (ts_s - ts0)
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "funnel_level": pa.array([], pa.int64()),
+            "t_first": pa.array([], pa.timestamp("us")),
+        })
+        if len(uniq) == 0:
+            return empty
+        # step 1: first event per user among step-0 rows
+        m0 = st_s == 0
+        d0, k0 = dense[m0], key_s[m0]
+        if len(d0) == 0:  # bucket holds later-step events only
+            return empty
+        pos = np.searchsorted(d0, np.arange(len(uniq)), side="left")
+        have = (pos < len(d0)) & (d0[np.minimum(pos, len(d0) - 1)]
+                                  == np.arange(len(uniq)))
+        users = np.flatnonzero(have)          # dense indices with a t1
+        if users.size == 0:
+            return empty
+        t_key = k0[pos[users]]                # composite key of t1
+        t1_key = t_key.copy()
+        level = np.ones(users.size, np.int64)
+        alive = np.ones(users.size, bool)
+        for k in range(1, len(steps)):
+            mk = st_s == k
+            dk, kk = dense[mk], key_s[mk]
+            idx = np.flatnonzero(alive)
+            if idx.size == 0:
+                break
+            # first step-k event with composite key >= previous step's key;
+            # landing past the user's range means no such event
+            p = np.searchsorted(kk, t_key[idx], side="left")
+            ok = (p < len(kk))
+            ok[ok] = dk[np.minimum(p[ok], len(dk) - 1)] == users[idx[ok]]
+            nxt = np.full(idx.size, -1, np.int64)
+            nxt[ok] = kk[p[ok]]
+            within = ok & (nxt - t1_key[idx] <= window_us)
+            level[idx[within]] = k + 1
+            t_key[idx[within]] = nxt[within]
+            alive[idx[~within]] = False
+        t1_us = (t1_key - users * span) + ts0
+        return pa.table({
+            "user_id": pa.array(uniq[users], pa.int64()),
+            "funnel_level": pa.array(level, pa.int64()),
+            "t_first": pa.array(t1_us, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    return bucketed_merge_arrow(tagged, ["user_id"], merge, num_buckets)
+
+
 def temperature_sample(
     docs: "ray.data.Dataset",
     part_col: str = "source",
@@ -537,6 +640,39 @@ def q_doc_sample_temperature(sf_dir: str):
     return temperature_sample(docs, alpha=0.3, target_frac=0.5)
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 48 * _US_PER_HOUR
+
+
+def q_events_funnel(sf_dir: str):
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return window_funnel(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW_US)
+
+
+SQL_FUNNEL = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts >= s2.t2
+       GROUP BY e.user_id)
+SELECT s1.user_id,
+       CASE WHEN s3.t3 IS NOT NULL
+                 AND epoch_us(s3.t3) - epoch_us(s1.t1) <= {_FUNNEL_WINDOW_US}
+            THEN 3
+            WHEN s2.t2 IS NOT NULL
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= {_FUNNEL_WINDOW_US}
+            THEN 2
+            ELSE 1 END AS funnel_level,
+       s1.t1 AS t_first
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 STREAM_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -545,6 +681,7 @@ STREAM_QUERIES = {
     "events_cap_per_user": q_events_cap_per_user,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_sample_temperature": q_doc_sample_temperature,
+    "events_funnel": q_events_funnel,
 }
 
 SQL_SESSIONIZE = f"""
@@ -626,4 +763,5 @@ STREAM_ORACLE = {
     "events_cap_per_user": SQL_CAP_PER_USER,
     "doc_sample_stratified": SQL_SAMPLE,
     "doc_sample_temperature": SQL_SAMPLE_TEMPERATURE,
+    "events_funnel": SQL_FUNNEL,
 }
