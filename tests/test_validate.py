@@ -512,3 +512,23 @@ def test_schema_check_flags_contract_defects(tmp_path_factory, ray_session):
     assert (q.status == "skipped").all()
     clean = res.verdicts[res.verdicts.part == 0]
     assert "skipped" not in set(clean.status)
+
+
+def test_run_with_every_registered_check(tmp_path_factory, ray_session):
+    """The full registry is runnable in one pass: every check name the
+    catalog declares is accepted by run() and produces a verdict row per
+    part."""
+    from use_case_real_time_anomaly_detection_ray import checks as reg
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("allc") / "c")
+    generate_corpus(d, CorpusSpec(n_parts=3, rows_per_part=300))
+    cfg = ValidationConfig(checks=tuple(sorted(reg.REGISTRY)))
+    odir = str(tmp_path_factory.mktemp("allo") / "o")
+    res = validate.run(d, odir, cfg)
+    assert set(res.verdicts["check"]) == set(reg.REGISTRY)
+    # one verdict per (part, check)
+    assert len(res.verdicts) == 3 * len(reg.REGISTRY)
+    assert set(res.verdicts["status"]) <= {"pass", "fail"}
