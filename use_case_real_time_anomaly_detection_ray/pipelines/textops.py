@@ -1941,22 +1941,53 @@ def lm_perplexity(
 
     SEP = "\n"  # words contain no whitespace, so SEP-joined bigrams are total
 
-    def bg_partial(t: pa.Table) -> pa.Table:
+    # ONE training scan over the corpus: each block's partial carries both
+    # its bigram Counter (kind 0) and its distinct-unigram set (kind 1,
+    # n=1 rows — the merge dedups), so vocabulary size costs no second
+    # text pass. Both tables complete in one (kind, key)-bucketed merge.
+    def train_partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
+        uni: set = set()
         for txt in t[text_col].to_pylist():
             w = T.words(txt.lower())
+            uni.update(w)
             c.update(SEP.join(p) for p in zip(w, w[1:]))
-        return pa.table({"bg": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        keys = list(c.keys()) + sorted(uni)
+        kinds = [0] * len(c) + [1] * len(uni)
+        ns = list(c.values()) + [1] * len(uni)
+        return pa.table({"kind": pa.array(kinds, pa.int8()),
+                         "key": pa.array(keys, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def train_merge(g: pd.DataFrame) -> pd.DataFrame:
+        bg = g[g["kind"] == 0]
+        bg = bg.groupby("key", sort=False)["n"].sum().reset_index()
+        bg["kind"] = np.int8(0)
+        un = g[g["kind"] == 1][["key"]].drop_duplicates()
+        un = un.assign(n=np.int64(1), kind=np.int8(1))
+        return pd.concat([bg, un], ignore_index=True)[["kind", "key", "n"]]
+
+    model = bucketed_merge(
+        ds.map_batches(train_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["key"], train_merge, num_buckets).materialize()
+
+    def split_kind(k: int):
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t["kind"], k))
+            return pa.table({"bg": sel["key"], "n": sel["n"]})
+        return f
+
+    bc = model.map_batches(split_kind(0), batch_format="pyarrow",
+                           batch_size=None).materialize()
+    v_size = float(model.map_batches(split_kind(1), batch_format="pyarrow",
+                                     batch_size=None).count())
+    denom_add = alpha * v_size
 
     def merge_sum(key):
         def m(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby(key, sort=False)["n"].sum().reset_index()
         return m
-
-    bc = bucketed_merge(ds.map_batches(bg_partial, batch_format="pyarrow",
-                                       batch_size=None),
-                        ["bg"], merge_sum("bg"), num_buckets).materialize()
 
     def pc_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -1966,29 +1997,14 @@ def lm_perplexity(
         g = df.groupby("w1", sort=False)["n"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    pc = bucketed_merge(bc.map_batches(pc_partial, batch_format="pyarrow",
-                                       batch_size=None),
-                        ["w1"], merge_sum("w1"), num_buckets).materialize()
-
-    def uni_partial(t: pa.Table) -> pa.Table:
-        s: set = set()
-        for txt in t[text_col].to_pylist():
-            s.update(T.words(txt.lower()))
-        return pa.table({"token": pa.array(sorted(s), pa.string())})
-
-    def uni_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["token"]].drop_duplicates()
-
-    vocab = bucketed_merge(ds.map_batches(uni_partial, batch_format="pyarrow",
-                                          batch_size=None),
-                           ["token"], uni_merge, num_buckets)
-    v_size = float(vocab.count())
-    denom_add = alpha * v_size
+    prefix = bucketed_merge(bc.map_batches(pc_partial, batch_format="pyarrow",
+                                           batch_size=None),
+                            ["w1"], merge_sum("w1"), num_buckets).materialize()
 
     n_bigrams = bc.count()
     if n_bigrams <= LM_BROADCAST_VOCAB:
         bc_df = to_arrow_single(bc).to_pandas()
-        pc_df = to_arrow_single(pc).to_pandas()
+        pc_df = to_arrow_single(prefix).to_pandas()
         bcd = dict(zip(bc_df["bg"], bc_df["n"].astype(np.int64)))
         pcd = dict(zip(pc_df["w1"], pc_df["n"].astype(np.int64)))
         ref = ray.put((bcd, pcd))
@@ -2083,7 +2099,7 @@ def lm_perplexity(
                       {id_col: t[id_col], "w1": t["w1"], "c": t["c"],
                        "cbg": t["cbg"]}),
         batch_format="pyarrow")
-    right2 = pc.map_batches(
+    right2 = prefix.map_batches(
         lambda t: tag(t, hop2_schema, {"w1": t["w1"], "n_model": t["n"]}),
         batch_format="pyarrow")
 
