@@ -1116,3 +1116,24 @@ def test_lm_perplexity_string_ids_both_paths(monkeypatch, ray_session):
     b = textops.lm_perplexity(ds)
     pd.testing.assert_frame_equal(a, b)
     assert set(a["doc_id"]) == {f"d{i}" for i in range(8)}
+
+
+def test_streaming_dedup_cross_tick_semantics(ray_session):
+    """Keys seen by an earlier tick never re-emit; within a tick the min-id
+    representative wins; the shared index survives across tick Datasets."""
+    t1 = pa.table({"doc_id": pa.array([5, 3, 9], pa.int64()),
+                   "text": ["aaa", "aaa", "bbb"]})
+    t2 = pa.table({"doc_id": pa.array([1, 2, 7], pa.int64()),
+                   "text": ["aaa", "ccc", "ccc"]})
+    t3 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": ["bbb"]})
+    ticks = [("t1", ray.data.from_arrow(t1).repartition(2)),
+             ("t2", ray.data.from_arrow(t2).repartition(2)),
+             ("t3", ray.data.from_arrow(t3))]
+    got = (textops.streaming_dedup(ticks).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # aaa first seen in t1 (min id 3); bbb in t1 (id 9); ccc in t2 (min 2)
+    assert got[["doc_id", "tick"]].values.tolist() == [
+        [2, "t2"], [3, "t1"], [9, "t1"]]
+    # the t2 duplicate of aaa (id 1 < 3) must NOT displace the earlier tick
+    assert 1 not in set(got["doc_id"])

@@ -103,6 +103,55 @@ def exact_dedup(
     return latest_by_key(hashed, ["text_md5"], [id_col], descending=[False])
 
 
+def streaming_dedup(
+    ticks: "list[tuple[str, ray.data.Dataset]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tick_col: str = "tick",
+    n_shards: int = 8,
+) -> "ray.data.Dataset":
+    """Cross-tick streaming dedup: process micro-batch "ticks" in arrival
+    order and emit, per tick, only the documents whose content hash no
+    earlier tick has seen — the reference's scheduled-copy → materialized
+    dedup target loop (``dedup_log.pipe:6`` + the per-minute copy cadence)
+    as an INCREMENTAL pipeline instead of a full re-scan.
+
+    This is the engine's one raw-actor surface (``state/dedup_index.py``):
+    the seen-key set is a shared MUTABLE index that must outlive each
+    tick's Dataset execution, which the pure-function Dataset API cannot
+    express. Determinism: each tick first collapses to its min-id
+    representative per hash (``exact_dedup``, so a key occurs once per
+    tick and the shard race disappears), ticks consume sequentially, and
+    the kept row per key is therefore the min (tick order, id) — a total
+    order an oracle can reproduce.
+
+    Scale shape: per tick, only (id, text_md5) rows flow; the index query
+    is one round trip per (block, touched shard). The index holds 64-bit
+    hashes, ~8 GB per 10^9 distinct keys across shards.
+    """
+    from ..state.dedup_index import DedupIndex
+
+    index = DedupIndex(n_shards)
+    outs = []
+    for label, ds in ticks:
+        collapsed = exact_dedup(ds, id_col=id_col, text_col=text_col)
+
+        def filt(t: pa.Table, _label=label) -> pa.Table:
+            h = np.array([int(m[:16], 16) for m in t["text_md5"].to_pylist()],
+                         np.uint64)
+            keep = index.filter_new(h) if len(h) else np.zeros(0, bool)
+            out = t.filter(pa.array(keep))
+            return out.append_column(
+                tick_col, pa.array([_label] * out.num_rows, pa.string()))
+
+        # materialize BEFORE the next tick starts: cross-tick ordering is
+        # the semantics (a later tick must see every earlier tick's keys)
+        outs.append(collapsed.map_batches(filt, batch_format="pyarrow")
+                    .materialize())
+    out = outs[0]
+    return out.union(*outs[1:]) if len(outs) > 1 else out
+
+
 # --------------------------------------------------------------------------
 # MinHash-LSH near-dedup
 # --------------------------------------------------------------------------

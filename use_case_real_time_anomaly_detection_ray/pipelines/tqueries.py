@@ -80,6 +80,39 @@ FROM f
 """
 
 
+def q_doc_streaming_dedup(sf_dir: str):
+    """Cross-tick streaming dedup over the shared-actor index: sources in
+    ascending order are the arrival ticks (in production each tick is the
+    batch that actually arrived; here the split is derived so the oracle
+    can reproduce it) — see ``textops.streaming_dedup``."""
+    import duckdb
+
+    srcs = [r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT source FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY source"
+    ).fetchall()]
+
+    def tick_ds(src: str):
+        full = read_table(sf_dir, "documents",
+                          columns=["doc_id", "text", "source"])
+        return full.map_batches(
+            lambda t, _s=src: t.filter(pa.compute.equal(t["source"], _s))
+                               .drop_columns(["source"]),
+            batch_format="pyarrow")
+
+    return textops.streaming_dedup([(s, tick_ds(s)) for s in srcs])
+
+
+SQL_DOC_STREAMING_DEDUP = """
+WITH r AS (
+  SELECT doc_id, source, md5(text) AS text_md5,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY source, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, text_md5, source AS tick FROM r WHERE rn = 1
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition scores (duplicate-word + top-bigram
     fractions) — see ``textops.repetition_scores``."""
@@ -741,6 +774,7 @@ TEXT_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_text_stats": q_doc_text_stats,
     "doc_repetition": q_doc_repetition,
+    "doc_streaming_dedup": q_doc_streaming_dedup,
     "doc_shared_passages": q_doc_shared_passages,
     "doc_lm_perplexity": q_doc_lm_perplexity,
     "doc_quality": q_doc_quality,
@@ -771,6 +805,7 @@ TEXT_ORACLE = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_streaming_dedup": SQL_DOC_STREAMING_DEDUP,
     "doc_shared_passages": SQL_DOC_SHARED_PASSAGES,
     "doc_lm_perplexity": SQL_DOC_LM_PERPLEXITY,
     "doc_quality": SQL_DOC_QUALITY,
