@@ -276,3 +276,42 @@ def test_window_funnel_semantics(ray_session):
     assert got["funnel_level"].tolist() == [3, 2, 1, 3, 1]
     assert got.loc[1, "t_first"] == T(0)
     assert got.loc[4, "t_first"] == T(5)
+
+
+def test_hopping_windows_vs_tumbling_and_coverage(ray_session):
+    """Every event lands in exactly window/hop hopping windows; the hopping
+    aggregate restricted to hop == window equals tumbling; cross-block
+    distinct users fold exactly."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, t0 + dt.timedelta(minutes=7 * i), "view",
+                     100 + i % 3, 1.5 * i))
+    tab = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "user_id": pa.array([r[3] for r in rows], pa.int64()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tab).repartition(4)
+    W, H = 2 * 3_600_000_000, 3_600_000_000
+    hop = SO.tumbling_agg(ds, window_us=W, hop_us=H).to_pandas()
+    # coverage: every event appears in exactly W/H = 2 windows
+    assert hop["n_events"].sum() == 2 * len(rows)
+    # hop == window degenerates to tumbling
+    a = (SO.tumbling_agg(ds, window_us=W, hop_us=W).to_pandas()
+         .sort_values(["window_start", "event_type"], ignore_index=True))
+    b = (SO.tumbling_agg(ds, window_us=W).to_pandas()
+         .sort_values(["window_start", "event_start" if False else "event_type"],
+                      ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    # brute-force one hopping window: [t0, t0+2h) holds minutes 0..119 -> 18 events
+    w0 = hop[hop["window_start"] == t0]
+    assert int(w0["n_events"].iloc[0]) == 18
+    assert int(w0["n_users"].iloc[0]) == 3
+    # invalid hop rejected
+    with pytest.raises(ValueError):
+        SO.tumbling_agg(ds, window_us=W, hop_us=7)

@@ -293,9 +293,15 @@ def tumbling_agg(
     events: "ray.data.Dataset",
     window_us: int = _US_PER_HOUR,
     num_buckets: int = 64,
+    hop_us: int | None = None,
 ) -> "ray.data.Dataset":
-    """Per (tumbling time window, event_type): event count, DISTINCT user
-    count, min/max value, exact-cents value sum.
+    """Per (time window, event_type): event count, DISTINCT user count,
+    min/max value, exact-cents value sum. Tumbling by default; pass
+    ``hop_us`` (a divisor of ``window_us``) for HOPPING windows — each
+    event then contributes to its ``window/hop`` covering windows (the
+    explosion happens inside the per-block partial, BEFORE the Arrow
+    group-by shrink, so the shuffle still carries per-(window, type, user)
+    partials, amplified only by the overlap factor).
 
     Distributed shape: blocks pre-aggregate to per-(window, type, user)
     partials with Arrow ``group_by`` (SIMD hash — a pandas groupby here was
@@ -308,10 +314,20 @@ def tumbling_agg(
     bounded by distinct users in it, not events. For corpora where even
     that is too hot, fall back to the two-level (window, type, user) bucket
     shape at the cost of a second shuffle."""
+    if hop_us is not None and (hop_us <= 0 or window_us % hop_us):
+        raise ValueError("hop_us must be a positive divisor of window_us")
 
     def partial(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        win = ts // window_us * window_us
+        if hop_us is not None:
+            r = window_us // hop_us
+            idx = np.repeat(np.arange(len(ts)), r)
+            j = np.tile(np.arange(r, dtype=np.int64), len(ts))
+            win = (ts[idx] // hop_us - j) * hop_us
+            t = t.take(pa.array(idx))
+            ts = ts[idx]
+        else:
+            win = ts // window_us * window_us
         tt = pa.table({
             "win_us": pa.array(win, pa.int64()),
             "event_type": t["event_type"],
@@ -629,6 +645,17 @@ def q_events_hourly_windows(sf_dir: str):
     return tumbling_agg(ev)
 
 
+_HOP_WINDOW_US = 2 * _US_PER_HOUR
+_HOP_US = _US_PER_HOUR
+
+
+def q_events_hopping_windows(sf_dir: str):
+    """2-hour windows hopping every hour (overlap factor 2)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "user_id", "value"])
+    return tumbling_agg(ev, window_us=_HOP_WINDOW_US, hop_us=_HOP_US)
+
+
 def q_doc_sample_stratified(sf_dir: str):
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "lang", "source", "n_chars"])
@@ -678,6 +705,7 @@ STREAM_QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_hourly_windows": q_events_hourly_windows,
+    "events_hopping_windows": q_events_hopping_windows,
     "events_cap_per_user": q_events_cap_per_user,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_sample_temperature": q_doc_sample_temperature,
@@ -732,6 +760,21 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+SQL_HOPPING = f"""
+WITH e AS (
+  SELECT event_type, user_id, value,
+         unnest(list_transform(range(0, {_HOP_WINDOW_US // _HOP_US}),
+                               j -> (epoch_us(ts) // {_HOP_US} - j)
+                                    * {_HOP_US})) AS win_us
+  FROM events
+)
+SELECT make_timestamp(win_us) AS window_start, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM e GROUP BY 1, 2
+"""
+
 SQL_SAMPLE = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
@@ -760,6 +803,7 @@ STREAM_ORACLE = {
     "events_asof_join": SQL_ASOF,
     "events_range_join": SQL_RANGE_JOIN,
     "events_hourly_windows": SQL_HOURLY,
+    "events_hopping_windows": SQL_HOPPING,
     "events_cap_per_user": SQL_CAP_PER_USER,
     "doc_sample_stratified": SQL_SAMPLE,
     "doc_sample_temperature": SQL_SAMPLE_TEMPERATURE,
