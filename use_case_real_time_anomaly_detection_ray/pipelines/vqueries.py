@@ -341,7 +341,65 @@ FROM ct GROUP BY part, n_p
 """
 
 
+# --------------------------------------------------------------------------
+# ROLLUP: multi-level aggregates from ONE pass of partials
+# --------------------------------------------------------------------------
+
+def q_pricing_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): leaf, per-flag, and grand-total
+    rows — all three levels fold from the SAME per-block partials as
+    ``pricing_summary`` (one corpus scan; the rollup is driver arithmetic
+    over the ~6 leaf groups). NULL grouping keys are encoded as '' to keep
+    the value-hash comparable."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    ds = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    leaf = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
+            .to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("sum_qty", "sum"),
+                 sum_base_price=("sum_base_price", "sum"),
+                 n=("n", "sum"))
+            .reset_index())
+    per_flag = (leaf.groupby("l_returnflag", sort=False)
+                [["sum_qty", "sum_base_price", "n"]].sum().reset_index()
+                .assign(l_linestatus=""))
+    total = pd.DataFrame([{
+        "l_returnflag": "", "l_linestatus": "",
+        "sum_qty": leaf["sum_qty"].sum(),
+        "sum_base_price": leaf["sum_base_price"].sum(),
+        "n": leaf["n"].sum(),
+    }])
+    out = pd.concat([leaf, per_flag, total], ignore_index=True)
+    # half-up 2-decimal rounding shared with the oracle (float sums may
+    # differ in the last ulp across addition orders)
+    for c in ("sum_qty", "sum_base_price"):
+        out[c] = np.floor(out[c] * 100.0 + 0.5) / 100.0
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "n"]]
+
+
+SQL_PRICING_ROLLUP = """
+SELECT COALESCE(l_returnflag, '') AS l_returnflag,
+       COALESCE(l_linestatus, '') AS l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 VALIDATION_QUERIES = {
+    "pricing_rollup": q_pricing_rollup,
     "pricing_summary": q_pricing_summary,
     "drift_psi_sources": q_drift_psi_sources,
     "drift_ks_sources": q_drift_ks_sources,
@@ -353,6 +411,7 @@ VALIDATION_QUERIES = {
 }
 
 VALIDATION_ORACLE = {
+    "pricing_rollup": SQL_PRICING_ROLLUP,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "drift_psi_sources": SQL_DRIFT_PSI_SOURCES,
     "drift_ks_sources": SQL_DRIFT_KS_SOURCES,
