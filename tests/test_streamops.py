@@ -305,8 +305,7 @@ def test_hopping_windows_vs_tumbling_and_coverage(ray_session):
     a = (SO.tumbling_agg(ds, window_us=W, hop_us=W).to_pandas()
          .sort_values(["window_start", "event_type"], ignore_index=True))
     b = (SO.tumbling_agg(ds, window_us=W).to_pandas()
-         .sort_values(["window_start", "event_start" if False else "event_type"],
-                      ignore_index=True))
+         .sort_values(["window_start", "event_type"], ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
     # brute-force one hopping window: [t0, t0+2h) holds minutes 0..119 -> 18 events
     w0 = hop[hop["window_start"] == t0]

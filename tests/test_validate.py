@@ -532,3 +532,75 @@ def test_run_with_every_registered_check(tmp_path_factory, ray_session):
     # one verdict per (part, check)
     assert len(res.verdicts) == 3 * len(reg.REGISTRY)
     assert set(res.verdicts["status"]) <= {"pass", "fail"}
+
+
+def test_quarantine_supersedes_done_and_rescans_after_repair(
+        tmp_path_factory, ray_session):
+    """A previously-done part that later fails the contract stops serving
+    its stale stats/violations (tombstone supersedes the manifest record);
+    once repaired it RESCANS; staleness is measured against the newest
+    VALID part; a truncated footer quarantines instead of crashing."""
+    import shutil
+    import pyarrow.parquet as pq
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("qrc") / "c")
+    generate_corpus(d, CorpusSpec(n_parts=3, rows_per_part=200,
+                                  n_out_of_range=6, n_duplicates=0,
+                                  n_dangling=0))
+    odir = str(tmp_path_factory.mktemp("qro") / "o")
+    res1 = validate.run(d, odir, CFG)
+    assert res1.parts_scanned == [0, 1, 2]
+    n_range_p2 = len(res1.violations[(res1.violations.check == "range")
+                                     & (res1.violations.part == 2)])
+
+    # corrupt part 2: truncate the file (unreadable footer)
+    f2 = os.path.join(d, "part=2", "data.parquet")
+    orig = open(f2, "rb").read()
+    with open(f2, "wb") as f:
+        f.write(orig[: len(orig) // 3])
+    res2 = validate.run(d, odir, CFG)
+    assert res2.parts_scanned == []           # 0,1 resume; 2 quarantined
+    sv = res2.violations[res2.violations.check == "schema"]
+    assert sv["part"].astype(int).tolist() == [2]
+    assert "unreadable parquet footer" in sv["note"].iloc[0]
+    # no stale part-2 results flow: range rows for part 2 are gone and its
+    # non-schema verdicts read skipped
+    assert len(res2.violations[(res2.violations.check == "range")
+                               & (res2.violations.part == 2)]) == 0
+    q = res2.verdicts[(res2.verdicts.part == 2)
+                      & (res2.verdicts.check != "schema")]
+    assert (q.status == "skipped").all()
+
+    # repair the file: the tombstone forces a rescan and results return
+    with open(f2, "wb") as f:
+        f.write(orig)
+    res3 = validate.run(d, odir, CFG)
+    assert res3.parts_scanned == [2]
+    assert len(res3.violations[(res3.violations.check == "range")
+                               & (res3.violations.part == 2)]) == n_range_p2
+    assert (res3.verdicts.status != "skipped").all()
+
+
+def test_all_parts_quarantined_still_reports(tmp_path_factory, ray_session):
+    """Every partition failing the contract yields schema-fail verdicts,
+    not a crash (the quarantine's whole point)."""
+    import pyarrow.parquet as pq
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("aqc") / "c")
+    generate_corpus(d, CorpusSpec(n_parts=2, rows_per_part=100))
+    for p in (0, 1):
+        f = os.path.join(d, f"part={p}", "data.parquet")
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["lang"]), f)
+    odir = str(tmp_path_factory.mktemp("aqo") / "o")
+    res = validate.run(d, odir, CFG)
+    v = res.verdicts
+    assert (v[v.check == "schema"].status == "fail").all()
+    assert (v[v.check != "schema"].status == "skipped").all()
+    assert set(res.violations["check"]) == {"schema"}

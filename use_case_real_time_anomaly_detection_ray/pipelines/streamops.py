@@ -438,6 +438,10 @@ def window_funnel(
     discipline). Only (user_id, ts, event_type) shuffle."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        # a dict step index would silently keep only the LAST position of a
+        # repeated type, tagging no row as step 0 → empty output, no error
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     step_ix = {s: k for k, s in enumerate(steps)}
 
     def tag(t: pa.Table) -> pa.Table:

@@ -85,15 +85,18 @@ def q_doc_streaming_dedup(sf_dir: str):
     ascending order are the arrival ticks (in production each tick is the
     batch that actually arrived; here the split is derived so the oracle
     can reproduce it) — see ``textops.streaming_dedup``."""
-    import duckdb
-
-    srcs = [r[0] for r in duckdb.sql(
-        f"SELECT DISTINCT source FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY source"
-    ).fetchall()]
+    # read ONCE and materialize: each tick then filters object-store blocks
+    # instead of re-scanning the parquet S times (one scan per source)
+    full = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"]).materialize()
+    srcs = sorted(
+        full.map_batches(
+            lambda t: pa.table({"source": t["source"].unique()}),
+            batch_format="pyarrow",
+        ).to_pandas()["source"].unique()
+    )
 
     def tick_ds(src: str):
-        full = read_table(sf_dir, "documents",
-                          columns=["doc_id", "text", "source"])
         return full.map_batches(
             lambda t, _s=src: t.filter(pa.compute.equal(t["source"], _s))
                                .drop_columns(["source"]),

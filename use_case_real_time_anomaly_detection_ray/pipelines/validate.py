@@ -591,7 +591,14 @@ def schema_violations(parts: dict[int, list[str]]) -> pa.Table:
 
     for part in sorted(parts):
         for frag in parts[part]:
-            sch = pq.read_schema(frag)
+            try:
+                sch = pq.read_schema(frag)
+            except Exception as e:  # truncated/corrupt footer: quarantine,
+                # never crash — the most common real corruption is a file
+                # torn mid-write, and one such file must not kill the run
+                emit(part, os.path.basename(frag), 1,
+                     f"schema: unreadable parquet footer ({e})")
+                continue
             have = {n: sch.field(n).type for n in sch.names}
             defects = []
             for col, ok_types in SCHEMA_CONTRACT.items():
@@ -1176,7 +1183,6 @@ def run(
                          f"{sorted(check_registry.REGISTRY)}")
     os.makedirs(out_dir, exist_ok=True)
     parts = discover_parts(corpus_dir)
-    global_max_part = max(parts)
     # ---- phase 0: schema contract (metadata-only, runs FIRST) -------------
     # a partition violating the column contract is QUARANTINED: excluded
     # from the content/key scans (its malformed columns would crash them —
@@ -1191,8 +1197,20 @@ def run(
     quarantined: set[int] = (
         set(schema_tbl["part"].to_pylist()) if schema_tbl.num_rows else set()
     )
+    # gates must never measure staleness against a partition that
+    # contributed no data: the newest VALID part is the clock
+    valid_parts = [p for p in parts if p not in quarantined]
+    global_max_part = max(valid_parts) if valid_parts else max(parts)
     manifest = Manifest(out_dir)
     done = manifest.done_parts() if resume else {}
+    if quarantined:
+        # a previously-done part that NOW fails the contract must not keep
+        # serving its pre-corruption stats/violations as if current —
+        # supersede its manifest record so a repaired file rescans
+        stale_done = sorted(p for p in quarantined if p in done)
+        if stale_done:
+            manifest.mark_quarantined_many(stale_done)
+        done = {p: rec for p, rec in done.items() if p not in quarantined}
     if "null_rate" in cfg.checks:
         # a manifest written before the null_rate check existed lacks the
         # per-part null_stats snapshot — treat those parts as NOT done so
@@ -1249,12 +1267,18 @@ def run(
     # execution runs in the background thread
     uniq_files = [f for p, frags in parts.items() if p not in quarantined
                   for f in frags]
-    if uniq_from_light:
+    uniq_keys_ds = None
+    if not uniq_files:
+        pass  # every partition quarantined: uniqueness has nothing to scan
+    elif uniq_from_light:
         _, uniq_keys_ds = _uniq_reads(uniq_files)  # candidate-fetch side only
     else:
         uniq_pre, uniq_keys_ds = _uniq_reads(uniq_files)
 
     def _run_uniqueness() -> None:
+        if not uniq_files:
+            uniq_result["table"] = _viol_table({c: [] for c in VIOLATION_COLS})
+            return
         try:
             # collected as ARROW: the pandas view is derived at join time,
             # and the arrow table feeds the streamed global write directly
@@ -1520,7 +1544,7 @@ def run(
     gates = pd.concat([gates, *extra], ignore_index=True) if extra else gates
     range_paths = [
         os.path.join(out_dir, "violations", f"part={p}", "violations.parquet")
-        for p in sorted(parts)
+        for p in sorted(parts) if p not in quarantined
     ]
     range_frames = [pq.read_table(rp).to_pandas() for rp in range_paths
                     if os.path.exists(rp)]

@@ -178,10 +178,12 @@ SQL_COLUMN_PROFILE_LINEITEM = "\nUNION ALL\n".join(
 # pattern over lineitem
 # --------------------------------------------------------------------------
 
-def q_pricing_summary(sf_dir: str):
-    """Per (returnflag, linestatus): counts and sums — partial sums per block
-    inside ``map_batches``, merged over ~6 groups (the wide shuffle collapses
-    to a handful of partial rows per block)."""
+def _pricing_leaf(sf_dir: str) -> pd.DataFrame:
+    """Shared leaf aggregate of the Q1 shape: per (returnflag, linestatus)
+    sums/counts from per-block partials merged over ~6 groups (the wide
+    shuffle collapses to a handful of partial rows per block). Both
+    ``pricing_summary`` and ``pricing_rollup`` fold from THIS frame so a
+    fix to the partial applies to both."""
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount"]
     ds = read_table(sf_dir, "lineitem", columns=cols)
@@ -199,13 +201,17 @@ def q_pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
-    agg = parts.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+    return parts.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
         sum_qty=("sum_qty", "sum"),
         sum_base_price=("sum_base_price", "sum"),
         sum_disc_price=("sum_disc_price", "sum"),
         n=("n", "sum"),
     ).reset_index()
-    out = agg.copy()
+
+
+def q_pricing_summary(sf_dir: str):
+    """Per (returnflag, linestatus): counts and sums (see _pricing_leaf)."""
+    out = _pricing_leaf(sf_dir).copy()
     # half-up 2-decimal rounding shared with the oracle (sum order may differ
     # in the last ulp; quantities are integral so sum_qty is already exact)
     for c in ("sum_base_price", "sum_disc_price"):
@@ -347,28 +353,13 @@ FROM ct GROUP BY part, n_p
 
 def q_pricing_rollup(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus): leaf, per-flag, and grand-total
-    rows — all three levels fold from the SAME per-block partials as
-    ``pricing_summary`` (one corpus scan; the rollup is driver arithmetic
-    over the ~6 leaf groups). NULL grouping keys are encoded as '' to keep
-    the value-hash comparable."""
-    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
-    ds = read_table(sf_dir, "lineitem", columns=cols)
-
-    def partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            n=("l_quantity", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
-
-    leaf = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
-            .to_pandas()
-            .groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(sum_qty=("sum_qty", "sum"),
-                 sum_base_price=("sum_base_price", "sum"),
-                 n=("n", "sum"))
-            .reset_index())
+    rows — all three levels fold from the SAME leaf frame as
+    ``pricing_summary`` (``_pricing_leaf``; one corpus scan; the rollup is
+    driver arithmetic over the ~6 leaf groups). NULL grouping keys are
+    encoded as '' to keep the value-hash comparable."""
+    leaf = _pricing_leaf(sf_dir)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "n"]
+    ]
     per_flag = (leaf.groupby("l_returnflag", sort=False)
                 [["sum_qty", "sum_base_price", "n"]].sum().reset_index()
                 .assign(l_linestatus=""))

@@ -82,6 +82,16 @@ class Manifest:
             }) + "\n")
         self._append_lines(lines)
 
+    def mark_quarantined_many(self, parts: list[int]) -> None:
+        """Supersede a partition's done-record with a quarantine tombstone
+        (last record wins, so ``done_parts`` stops returning it): a part
+        whose file later fails the schema contract must not keep serving
+        its pre-corruption stats, and must RESCAN once repaired."""
+        self._append_lines([
+            json.dumps({"part": int(p), "status": "quarantined"}) + "\n"
+            for p in parts
+        ])
+
     def _append_lines(self, lines: list[str]) -> None:
         with open(self.path, "a") as f:
             f.writelines(lines)
