@@ -1137,3 +1137,32 @@ def test_streaming_dedup_cross_tick_semantics(ray_session):
         [2, "t2"], [3, "t1"], [9, "t1"]]
     # the t2 duplicate of aaa (id 1 < 3) must NOT displace the earlier tick
     assert 1 not in set(got["doc_id"])
+
+
+def test_chunk_documents_exact(ray_session):
+    """Chunk boundaries, overlap, short tails, empty docs, parameter
+    validation — against a brute-force reference."""
+    texts = ["a" * 450, "b" * 200, "c" * 199, "", "d" * 201]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(2)
+    got = (textops.chunk_documents(ds, size=200, overlap=50).to_pandas()
+           .sort_values(["doc_id", "chunk_id"], ignore_index=True))
+    want = []
+    for i, txt in enumerate(texts):
+        for ci, s in enumerate(range(0, len(txt), 150)):
+            want.append((i, ci, txt[s:s + 200]))
+    assert list(map(tuple, got[["doc_id", "chunk_id", "chunk"]].values)) == want
+    assert (got["n_chars"] == got["chunk"].str.len()).all()
+    # doc 0 (450 chars, stride 150): chunks of len 200, 200, 150
+    assert got[got.doc_id == 0]["n_chars"].tolist() == [200, 200, 150]
+    # empty doc emits nothing
+    assert 3 not in set(got["doc_id"])
+    # reconstruction: stripping the overlap from non-first chunks
+    # reassembles the document exactly
+    for i, txt in enumerate(texts):
+        parts = got[got.doc_id == i].sort_values("chunk_id")["chunk"].tolist()
+        rebuilt = "".join([parts[0]] + [p[50:] for p in parts[1:]]) if parts else ""
+        assert rebuilt == txt
+    with pytest.raises(ValueError):
+        textops.chunk_documents(ds, size=100, overlap=100)

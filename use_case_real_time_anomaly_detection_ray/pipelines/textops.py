@@ -1891,6 +1891,43 @@ def quality_score(
     return st.map_batches(score, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    size: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Fixed-size character chunking with overlap (the RAG/embedding-prep
+    splitter): chunk ``i`` covers ``[i·(size−overlap), i·(size−overlap) +
+    size)``; the final chunk may be short; empty docs emit nothing.
+
+    Map-only and embarrassingly parallel — each block explodes its own
+    docs; output order inside a block is (doc, chunk) and nothing
+    shuffles. Emits ``(id, chunk_id, chunk, n_chars)``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cids, chunks = [], [], []
+        id_vals = t[id_col].to_pylist()
+        for did, txt in zip(id_vals, t[text_col].to_pylist()):
+            for ci, start in enumerate(range(0, len(txt), stride)):
+                ids.append(did)
+                cids.append(ci)
+                chunks.append(txt[start:start + size])
+        return pa.table({
+            id_col: pa.array(ids, t.schema.field(id_col).type),
+            "chunk_id": pa.array(cids, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+            "n_chars": pa.array([len(c) for c in chunks], pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def repetition_scores(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

@@ -217,6 +217,22 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_doc_chunks(sf_dir: str):
+    """Overlapping 200/50 character chunking — see
+    ``textops.chunk_documents``."""
+    return textops.chunk_documents(_docs(sf_dir), size=200, overlap=50)
+
+
+SQL_DOC_CHUNKS = """
+SELECT doc_id,
+       CAST(s / 150 AS BIGINT) AS chunk_id,
+       substr(text, CAST(s AS BIGINT) + 1, 200) AS chunk,
+       length(substr(text, CAST(s AS BIGINT) + 1, 200)) AS n_chars
+FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS s
+      FROM documents WHERE length(text) > 0)
+"""
+
+
 def q_doc_quality(sf_dir: str):
     return textops.quality_score(_docs(sf_dir))
 
@@ -778,6 +794,7 @@ TEXT_QUERIES = {
     "doc_text_stats": q_doc_text_stats,
     "doc_repetition": q_doc_repetition,
     "doc_streaming_dedup": q_doc_streaming_dedup,
+    "doc_chunks": q_doc_chunks,
     "doc_shared_passages": q_doc_shared_passages,
     "doc_lm_perplexity": q_doc_lm_perplexity,
     "doc_quality": q_doc_quality,
@@ -809,6 +826,7 @@ TEXT_ORACLE = {
     "doc_text_stats": SQL_DOC_TEXT_STATS,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_streaming_dedup": SQL_DOC_STREAMING_DEDUP,
+    "doc_chunks": SQL_DOC_CHUNKS,
     "doc_shared_passages": SQL_DOC_SHARED_PASSAGES,
     "doc_lm_perplexity": SQL_DOC_LM_PERPLEXITY,
     "doc_quality": SQL_DOC_QUALITY,
