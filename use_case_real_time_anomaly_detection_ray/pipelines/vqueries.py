@@ -389,8 +389,126 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --------------------------------------------------------------------------
+# Q3 shape: selective dimension filter -> broadcast semi join -> big-big
+# bucketed join -> grouped revenue -> global top-k from per-block partials
+# --------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1996-06-30"
+_Q3_K = 10
+
+
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape over the driver tables: BUILDING customers' orders
+    placed before the cutoff, revenue from their line items shipped after
+    it, top 10 orders by revenue.
+
+    Join strategy by side size: the filtered customer KEY SET broadcasts
+    (one selective dimension — `ray.put` once, probed per batch);
+    orders⨝lineitem is the genuine big-big join and goes through the
+    bucketed hash join; revenue partials pre-aggregate per block before
+    the per-order merge; the global top-10 folds per-block top-k partials
+    (blocks × k rows to the driver, never the full group table). Revenue
+    rounds half-up to 2 decimals on BOTH sides and ranks on the rounded
+    value with an orderkey tie-break, so the oracle matches bitwise."""
+    import datetime as dt
+
+    cutoff = dt.datetime.fromisoformat(_Q3_CUTOFF)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = (
+        cust.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["c_mktsegment"],
+                                                _Q3_SEGMENT))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow")
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pa.compute.less(t["o_orderdate"],
+                                           pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    orders = broadcast_semi_anti(orders, cust_keys, on=["o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    line = read_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                               "l_discount"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        part = pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev, pa.float64())})
+        g = part.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("rev", "sum")])
+        return pa.table({"o_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"]})
+
+    line_pre = line.map_batches(line_partial, batch_format="pyarrow",
+                                batch_size=None)
+    from ..stages.join import bucketed_join
+
+    # prefer_native=False: the native hash-shuffle join spins up
+    # num_partitions aggregator actors, which starves small CPU budgets
+    # (the bucketed_join docstring's own warning — measured: the driver
+    # sweep at 4 CPUs stalls past 300 s on the native path, 3 s explicit)
+    joined = bucketed_join(orders, line_pre, on=["o_orderkey"],
+                           prefer_native=False)
+
+    def topk_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False)["rev"].sum().reset_index()
+        g["revenue"] = np.floor(g["rev"] * 100.0 + 0.5) / 100.0
+        g = g.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(_Q3_K)
+        return pa.Table.from_pandas(
+            g[["o_orderkey", "o_orderdate", "o_orderpriority", "rev"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    # per-order revenue completes inside one bucket (bucketed_join keys the
+    # shuffle on o_orderkey), so a per-bucket groupby+head is a correct
+    # top-k partial; the driver folds buckets × k rows
+    from ..stages.reduce import bucketed_merge, to_arrow_single
+
+    parts = bucketed_merge(joined, ["o_orderkey"], topk_partial)
+    out = to_arrow_single(parts).to_pandas()
+    out = (out.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False)["rev"].sum().reset_index())
+    out["revenue"] = np.floor(out["rev"] * 100.0 + 0.5) / 100.0
+    out = (out.sort_values(["revenue", "o_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+           .head(_Q3_K).reset_index(drop=True))
+    return out[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+
+SQL_Q3_SHIPPING_PRIORITY = f"""
+WITH r AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100 + 0.5)
+           / 100 AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+    AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM r ORDER BY revenue DESC, o_orderkey ASC LIMIT {_Q3_K}
+"""
+
+
 VALIDATION_QUERIES = {
     "pricing_rollup": q_pricing_rollup,
+    "q3_shipping_priority": q_q3_shipping_priority,
     "pricing_summary": q_pricing_summary,
     "drift_psi_sources": q_drift_psi_sources,
     "drift_ks_sources": q_drift_ks_sources,
@@ -403,6 +521,7 @@ VALIDATION_QUERIES = {
 
 VALIDATION_ORACLE = {
     "pricing_rollup": SQL_PRICING_ROLLUP,
+    "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "drift_psi_sources": SQL_DRIFT_PSI_SOURCES,
     "drift_ks_sources": SQL_DRIFT_KS_SOURCES,
