@@ -563,6 +563,7 @@ def test_quarantine_supersedes_done_and_rescans_after_repair(
         f.write(orig[: len(orig) // 3])
     res2 = validate.run(d, odir, CFG)
     assert res2.parts_scanned == []           # 0,1 resume; 2 quarantined
+    assert res2.parts_quarantined == [2]
     sv = res2.violations[res2.violations.check == "schema"]
     assert sv["part"].astype(int).tolist() == [2]
     assert "unreadable parquet footer" in sv["note"].iloc[0]
@@ -600,6 +601,7 @@ def test_all_parts_quarantined_still_reports(tmp_path_factory, ray_session):
         pq.write_table(t.drop_columns(["lang"]), f)
     odir = str(tmp_path_factory.mktemp("aqo") / "o")
     res = validate.run(d, odir, CFG)
+    assert res.parts_quarantined == [0, 1]
     v = res.verdicts
     assert (v[v.check == "schema"].status == "fail").all()
     assert (v[v.check != "schema"].status == "skipped").all()

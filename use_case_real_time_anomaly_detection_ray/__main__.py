@@ -110,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "parts_scanned": res.parts_scanned,
                 "parts_skipped": res.parts_skipped,
+                "parts_quarantined": res.parts_quarantined,
                 "n_violations": int(len(res.violations)),
                 "n_failed_verdicts": int((res.verdicts["status"] == "fail").sum()),
                 "out_dir": res.out_dir,

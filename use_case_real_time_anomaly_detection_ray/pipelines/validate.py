@@ -1133,6 +1133,7 @@ class RunResult:
     parts_scanned: list[int]
     parts_skipped: list[int]
     out_dir: str
+    parts_quarantined: list[int] = field(default_factory=list)
 
 
 def _stats_to_snapshot(stats: pd.DataFrame, part: int) -> list[dict[str, Any]]:
@@ -1622,4 +1623,5 @@ def run(
         parts_scanned=todo,
         parts_skipped=skipped,
         out_dir=out_dir,
+        parts_quarantined=sorted(quarantined),
     )
