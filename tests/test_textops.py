@@ -1151,11 +1151,19 @@ def test_chunk_documents_exact(ray_session):
     want = []
     for i, txt in enumerate(texts):
         for ci, s in enumerate(range(0, len(txt), 150)):
+            if s > 0 and s - 150 + 200 >= len(txt):
+                break  # predecessor already reached end-of-text
             want.append((i, ci, txt[s:s + 200]))
     assert list(map(tuple, got[["doc_id", "chunk_id", "chunk"]].values)) == want
     assert (got["n_chars"] == got["chunk"].str.len()).all()
     # doc 0 (450 chars, stride 150): chunks of len 200, 200, 150
     assert got[got.doc_id == 0]["n_chars"].tolist() == [200, 200, 150]
+    # docs 1 (200) and 2 (199): ONE chunk each — no duplicate tail chunk
+    # wholly contained in its predecessor
+    assert got[got.doc_id == 1]["n_chars"].tolist() == [200]
+    assert got[got.doc_id == 2]["n_chars"].tolist() == [199]
+    # doc 4 (201): the second chunk adds exactly one new char
+    assert got[got.doc_id == 4]["n_chars"].tolist() == [200, 51]
     # empty doc emits nothing
     assert 3 not in set(got["doc_id"])
     # reconstruction: stripping the overlap from non-first chunks

@@ -606,3 +606,15 @@ def test_all_parts_quarantined_still_reports(tmp_path_factory, ray_session):
     assert (v[v.check == "schema"].status == "fail").all()
     assert (v[v.check != "schema"].status == "skipped").all()
     assert set(res.violations["check"]) == {"schema"}
+
+
+def test_q3_empty_filters_return_typed_empty(ray_session, monkeypatch):
+    """Filters that eliminate every row yield an empty 4-column frame,
+    matching the oracle's empty result (not a KeyError)."""
+    from use_case_real_time_anomaly_detection_ray.pipelines import vqueries
+
+    monkeypatch.setattr(vqueries, "_Q3_SEGMENT", "NO_SUCH_SEGMENT")
+    out = vqueries.q_q3_shipping_priority("/root/testdata/sf0.001")
+    assert list(out.columns) == ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority", "revenue"]
+    assert len(out) == 0

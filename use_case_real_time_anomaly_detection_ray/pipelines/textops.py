@@ -1900,7 +1900,11 @@ def chunk_documents(
 ) -> "ray.data.Dataset":
     """Fixed-size character chunking with overlap (the RAG/embedding-prep
     splitter): chunk ``i`` covers ``[i·(size−overlap), i·(size−overlap) +
-    size)``; the final chunk may be short; empty docs emit nothing.
+    size)``; the final chunk may be short; empty docs emit nothing. Once a
+    chunk reaches end-of-text, emission STOPS — a further start would
+    yield a chunk wholly contained in its predecessor (pure duplicate
+    passages that waste embedding calls), which standard splitters never
+    emit.
 
     Map-only and embarrassingly parallel — each block explodes its own
     docs; output order inside a block is (doc, chunk) and nothing
@@ -1915,6 +1919,8 @@ def chunk_documents(
         id_vals = t[id_col].to_pylist()
         for did, txt in zip(id_vals, t[text_col].to_pylist()):
             for ci, start in enumerate(range(0, len(txt), stride)):
+                if start > 0 and start - stride + size >= len(txt):
+                    break  # previous chunk already reached end-of-text
                 ids.append(did)
                 cids.append(ci)
                 chunks.append(txt[start:start + size])

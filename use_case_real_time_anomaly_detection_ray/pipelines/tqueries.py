@@ -217,19 +217,25 @@ FROM sc GROUP BY doc_id
 """
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 200, 50
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping 200/50 character chunking — see
     ``textops.chunk_documents``."""
-    return textops.chunk_documents(_docs(sf_dir), size=200, overlap=50)
+    return textops.chunk_documents(_docs(sf_dir), size=_CHUNK_SIZE,
+                                   overlap=_CHUNK_OVERLAP)
 
 
-SQL_DOC_CHUNKS = """
+SQL_DOC_CHUNKS = f"""
 SELECT doc_id,
-       CAST(s / 150 AS BIGINT) AS chunk_id,
-       substr(text, CAST(s AS BIGINT) + 1, 200) AS chunk,
-       length(substr(text, CAST(s AS BIGINT) + 1, 200)) AS n_chars
-FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS s
+       CAST(s / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       substr(text, CAST(s AS BIGINT) + 1, {_CHUNK_SIZE}) AS chunk,
+       length(substr(text, CAST(s AS BIGINT) + 1, {_CHUNK_SIZE})) AS n_chars
+FROM (SELECT doc_id, text, unnest(range(0, length(text), {_CHUNK_STRIDE})) AS s
       FROM documents WHERE length(text) > 0)
+WHERE s = 0 OR s - {_CHUNK_STRIDE} + {_CHUNK_SIZE} < length(text)
 """
 
 

@@ -415,13 +415,18 @@ def q_q3_shipping_priority(sf_dir: str):
     import datetime as dt
 
     cutoff = dt.datetime.fromisoformat(_Q3_CUTOFF)
+    from ..stages.reduce import to_arrow_single as _single
+
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    # to_arrow_single, not .to_pandas(): an all-filtered result must keep
+    # its schema (the empty-blocks gotcha) so the semi join still sees the
+    # key column and degrades to an empty output
     cust_keys = (
-        cust.map_batches(
+        _single(cust.map_batches(
             lambda t: t.filter(pa.compute.equal(t["c_mktsegment"],
                                                 _Q3_SEGMENT))
                        .select(["c_custkey"]),
-            batch_format="pyarrow")
+            batch_format="pyarrow"))
         .to_pandas()
         .rename(columns={"c_custkey": "o_custkey"})
     )
@@ -473,13 +478,22 @@ def q_q3_shipping_priority(sf_dir: str):
             g[["o_orderkey", "o_orderdate", "o_orderpriority", "rev"]],
             preserve_index=False).replace_schema_metadata(None)
 
-    # per-order revenue completes inside one bucket (bucketed_join keys the
-    # shuffle on o_orderkey), so a per-bucket groupby+head is a correct
-    # top-k partial; the driver folds buckets × k rows
-    from ..stages.reduce import bucketed_merge, to_arrow_single
+    # bucketed_join(prefer_native=False) already emitted ONE block per
+    # hash(o_orderkey) bucket, so every order's rows are complete within
+    # a block: a map over the join output is a correct top-k partial — a
+    # second bucketed shuffle would re-partition identically for nothing
+    from ..stages.reduce import to_arrow_single
 
-    parts = bucketed_merge(joined, ["o_orderkey"], topk_partial)
+    parts = joined.map_batches(topk_partial, batch_format="pandas",
+                               batch_size=None)
     out = to_arrow_single(parts).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series([], dtype=object),
+            "revenue": pd.Series([], dtype="float64"),
+        })
     out = (out.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
                        sort=False)["rev"].sum().reset_index())
     out["revenue"] = np.floor(out["rev"] * 100.0 + 0.5) / 100.0

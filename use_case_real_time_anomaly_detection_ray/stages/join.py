@@ -155,8 +155,14 @@ def bucketed_join(
             pass  # fall back to the explicit bucketed implementation
     # explicit column lists (from the schemas, fetched once) — a bucket whose
     # rows come from only ONE side must still produce the full joined schema
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    lsch, rsch = left.schema(), right.schema()
+    if lsch is None or rsch is None:
+        # a fully-empty side has no schema at all (Ray drops it with the
+        # blocks); an inner join with an empty side is empty — return a
+        # zero-row dataset instead of crashing on .names
+        return ray.data.from_arrow(pa.table({}))
+    lcols = [c for c in lsch.names]
+    rcols = [c for c in rsch.names]
     r_extra = [c for c in rcols if c not in on]
     lb = add_hash_bucket(left, on, num_buckets)
     rb = add_hash_bucket(right, on, num_buckets)
