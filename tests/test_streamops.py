@@ -314,3 +314,23 @@ def test_hopping_windows_vs_tumbling_and_coverage(ray_session):
     # invalid hop rejected
     with pytest.raises(ValueError):
         SO.tumbling_agg(ds, window_us=W, hop_us=7)
+
+
+def test_json_field_agg_null_semantics(ray_session):
+    """Missing/unparsable props and absent fields count toward n but not
+    the stats; all-missing groups carry null min/max; sums are exact."""
+    tab = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "props": pa.array(['{"k": 5}', '{"k": -2}', "not json",
+                           '{"other": 1}', None, '{"k": 7}']),
+    })
+    ds = ray.data.from_arrow(tab).repartition(3)
+    got = (SO.json_field_agg(ds).to_pandas()
+           .set_index("event_type").sort_index())
+    assert got.loc["a", "n"] == 3 and got.loc["a", "n_with"] == 2
+    assert got.loc["a", "sum_v"] == 3
+    assert got.loc["a", "min_v"] == -2 and got.loc["a", "max_v"] == 5
+    assert got.loc["b", "n"] == 2 and got.loc["b", "n_with"] == 0
+    assert got.loc["b", "sum_v"] == 0
+    assert pd.isna(got.loc["b", "min_v"]) and pd.isna(got.loc["b", "max_v"])
+    assert got.loc["c", "n_with"] == 1 and got.loc["c", "sum_v"] == 7

@@ -518,6 +518,69 @@ def window_funnel(
     return bucketed_merge_arrow(tagged, ["user_id"], merge, num_buckets)
 
 
+def json_field_agg(
+    events: "ray.data.Dataset",
+    field: str = "k",
+    group_col: str = "event_type",
+    props_col: str = "props",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Semi-structured extraction + aggregate: parse the JSON ``props_col``,
+    pull integer ``$.field``, and aggregate per ``group_col`` — count,
+    non-null count, sum, min, max. Rows whose props are missing/unparsable
+    or lack the field count toward ``n`` but not the stats (SQL
+    ``json_extract`` NULL semantics).
+
+    Scale shape: the parse is inherently per-row (stdlib ``json`` — no
+    Arrow kernel exists for arbitrary JSON), but it happens INSIDE the
+    per-block partial which immediately shrinks to one row per group per
+    block; the shuffle moves only those partials. Exact integer sums, no
+    float discipline needed."""
+    import json as _json
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals: dict[str, list[int]] = {}
+        counts: dict[str, int] = {}
+        for g, p in zip(t[group_col].to_pylist(), t[props_col].to_pylist()):
+            counts[g] = counts.get(g, 0) + 1
+            if p is None:
+                continue
+            try:
+                v = _json.loads(p).get(field)
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(v, int) and not isinstance(v, bool):
+                vals.setdefault(g, []).append(v)
+        gs = sorted(counts)
+        return pa.table({
+            group_col: pa.array(gs, pa.string()),
+            "n": pa.array([counts[g] for g in gs], pa.int64()),
+            "n_with": pa.array([len(vals.get(g, ())) for g in gs], pa.int64()),
+            "sum_v": pa.array([sum(vals.get(g, ())) for g in gs], pa.int64()),
+            "min_v": pa.array([min(vals[g]) if g in vals else None
+                               for g in gs], pa.int64()),
+            "max_v": pa.array([max(vals[g]) if g in vals else None
+                               for g in gs], pa.int64()),
+        })
+
+    parts = events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def merge(g: "pd.DataFrame"):
+        agg = g.groupby(group_col, sort=False).agg(
+            n=("n", "sum"), n_with=("n_with", "sum"), sum_v=("sum_v", "sum"),
+            min_v=("min_v", "min"), max_v=("max_v", "max")).reset_index()
+        for c in ("min_v", "max_v"):
+            # pandas upcasts a null-carrying int column to float64; restore
+            # the nullable-int dtype so the Arrow schema matches the SQL's
+            agg[c] = agg[c].astype("Int64")
+        return agg
+
+    from ..stages.reduce import bucketed_merge
+
+    return bucketed_merge(parts, [group_col], merge, num_buckets)
+
+
 def temperature_sample(
     docs: "ray.data.Dataset",
     part_col: str = "source",
@@ -671,6 +734,13 @@ def q_doc_sample_temperature(sf_dir: str):
     return temperature_sample(docs, alpha=0.3, target_frac=0.5)
 
 
+def q_events_json_agg(sf_dir: str):
+    """Per event_type stats of the integer $.k field inside the JSON
+    props column — see ``json_field_agg``."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    return json_field_agg(ev, field="k", group_col="event_type")
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WINDOW_US = 48 * _US_PER_HOUR
 
@@ -714,6 +784,7 @@ STREAM_QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_sample_temperature": q_doc_sample_temperature,
     "events_funnel": q_events_funnel,
+    "events_json_agg": q_events_json_agg,
 }
 
 SQL_SESSIONIZE = f"""
@@ -779,6 +850,18 @@ SELECT make_timestamp(win_us) AS window_start, event_type,
 FROM e GROUP BY 1, 2
 """
 
+SQL_JSON_AGG = """
+SELECT event_type,
+       count(*) AS n,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with,
+       CAST(COALESCE(sum(CAST(json_extract(props, '$.k') AS BIGINT)), 0)
+            AS BIGINT) AS sum_v,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_v,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_v
+FROM events GROUP BY event_type
+"""
+
+
 SQL_SAMPLE = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
@@ -812,4 +895,5 @@ STREAM_ORACLE = {
     "doc_sample_stratified": SQL_SAMPLE,
     "doc_sample_temperature": SQL_SAMPLE_TEMPERATURE,
     "events_funnel": SQL_FUNNEL,
+    "events_json_agg": SQL_JSON_AGG,
 }
