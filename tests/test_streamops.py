@@ -334,3 +334,27 @@ def test_json_field_agg_null_semantics(ray_session):
     assert got.loc["b", "sum_v"] == 0
     assert pd.isna(got.loc["b", "min_v"]) and pd.isna(got.loc["b", "max_v"])
     assert got.loc["c", "n_with"] == 1 and got.loc["c", "sum_v"] == 7
+
+
+def test_json_field_agg_robustness(ray_session):
+    """Big ints survive exactly (no pandas float64 round-trip), NULL group
+    keys form their own group, and non-string group columns work."""
+    big = 2**62 + 1
+    tab = pa.table({
+        "event_type": pa.array(["a", "a", None]),
+        "props": pa.array([f'{{"k": {big}}}', '{"other": 1}', '{"k": 3}']),
+    })
+    got = SO.json_field_agg(ray.data.from_arrow(tab).repartition(2)).to_pandas()
+    a = got[got.event_type == "a"].iloc[0]
+    assert int(a["min_v"]) == big and int(a["max_v"]) == big
+    assert int(a["sum_v"]) == big and int(a["n_with"]) == 1
+    nullg = got[got.event_type.isna()]
+    assert len(nullg) == 1 and int(nullg["sum_v"].iloc[0]) == 3
+    # int64 group column
+    tab2 = pa.table({
+        "user_id": pa.array([7, 7, 9], pa.int64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}', None]),
+    })
+    got2 = (SO.json_field_agg(ray.data.from_arrow(tab2), group_col="user_id")
+            .to_pandas().set_index("user_id").sort_index())
+    assert got2.loc[7, "sum_v"] == 3 and got2.loc[9, "n_with"] == 0

@@ -534,51 +534,59 @@ def json_field_agg(
     Scale shape: the parse is inherently per-row (stdlib ``json`` — no
     Arrow kernel exists for arbitrary JSON), but it happens INSIDE the
     per-block partial which immediately shrinks to one row per group per
-    block; the shuffle moves only those partials. Exact integer sums, no
-    float discipline needed."""
+    block; the shuffle moves only those partials. The whole
+    partial-and-merge path is Arrow ``group_by`` end-to-end: int64 values
+    never round-trip through pandas float64 (which silently rounds above
+    2^53), NULL group keys form their own group exactly as SQL's
+    ``GROUP BY`` does, and the group column keeps its native type."""
     import json as _json
 
     def partial(t: pa.Table) -> pa.Table:
-        vals: dict[str, list[int]] = {}
-        counts: dict[str, int] = {}
-        for g, p in zip(t[group_col].to_pylist(), t[props_col].to_pylist()):
-            counts[g] = counts.get(g, 0) + 1
-            if p is None:
-                continue
-            try:
-                v = _json.loads(p).get(field)
-            except (ValueError, AttributeError):
-                continue
-            if isinstance(v, int) and not isinstance(v, bool):
-                vals.setdefault(g, []).append(v)
-        gs = sorted(counts)
+        vs: list[int | None] = []
+        for p in t[props_col].to_pylist():
+            v = None
+            if p is not None:
+                try:
+                    x = _json.loads(p).get(field)
+                except (ValueError, AttributeError):
+                    x = None
+                if isinstance(x, int) and not isinstance(x, bool):
+                    v = x
+            vs.append(v)
+        base = pa.table({
+            group_col: t[group_col],
+            "v": pa.array(vs, pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = base.group_by([group_col], use_threads=False).aggregate(
+            [("one", "sum"), ("v", "count"), ("v", "sum"),
+             ("v", "min"), ("v", "max")])
         return pa.table({
-            group_col: pa.array(gs, pa.string()),
-            "n": pa.array([counts[g] for g in gs], pa.int64()),
-            "n_with": pa.array([len(vals.get(g, ())) for g in gs], pa.int64()),
-            "sum_v": pa.array([sum(vals.get(g, ())) for g in gs], pa.int64()),
-            "min_v": pa.array([min(vals[g]) if g in vals else None
-                               for g in gs], pa.int64()),
-            "max_v": pa.array([max(vals[g]) if g in vals else None
-                               for g in gs], pa.int64()),
+            group_col: g[group_col],
+            "n": g["one_sum"],
+            "n_with": g["v_count"].cast(pa.int64()),
+            "sum_v": pc.fill_null(g["v_sum"], 0),
+            "min_v": g["v_min"],
+            "max_v": g["v_max"],
         })
 
     parts = events.map_batches(partial, batch_format="pyarrow",
                                batch_size=None)
 
-    def merge(g: "pd.DataFrame"):
-        agg = g.groupby(group_col, sort=False).agg(
-            n=("n", "sum"), n_with=("n_with", "sum"), sum_v=("sum_v", "sum"),
-            min_v=("min_v", "min"), max_v=("max_v", "max")).reset_index()
-        for c in ("min_v", "max_v"):
-            # pandas upcasts a null-carrying int column to float64; restore
-            # the nullable-int dtype so the Arrow schema matches the SQL's
-            agg[c] = agg[c].astype("Int64")
-        return agg
+    def merge(g: pa.Table) -> pa.Table:
+        a = g.group_by([group_col], use_threads=False).aggregate(
+            [("n", "sum"), ("n_with", "sum"), ("sum_v", "sum"),
+             ("min_v", "min"), ("max_v", "max")])
+        return pa.table({
+            group_col: a[group_col],
+            "n": a["n_sum"],
+            "n_with": a["n_with_sum"],
+            "sum_v": a["sum_v_sum"],
+            "min_v": a["min_v_min"],
+            "max_v": a["max_v_max"],
+        })
 
-    from ..stages.reduce import bucketed_merge
-
-    return bucketed_merge(parts, [group_col], merge, num_buckets)
+    return bucketed_merge_arrow(parts, [group_col], merge, num_buckets)
 
 
 def temperature_sample(
@@ -851,14 +859,18 @@ FROM e GROUP BY 1, 2
 """
 
 SQL_JSON_AGG = """
-SELECT event_type,
-       count(*) AS n,
-       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with,
-       CAST(COALESCE(sum(CAST(json_extract(props, '$.k') AS BIGINT)), 0)
-            AS BIGINT) AS sum_v,
-       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_v,
-       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_v
-FROM events GROUP BY event_type
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+                   AND json_type(json_extract(props, '$.k'))
+                       IN ('BIGINT', 'UBIGINT')
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS v
+  FROM events
+)
+SELECT event_type, count(*) AS n, count(v) AS n_with,
+       CAST(COALESCE(sum(v), 0) AS BIGINT) AS sum_v,
+       min(v) AS min_v, max(v) AS max_v
+FROM e GROUP BY event_type
 """
 
 
