@@ -157,6 +157,10 @@ def run_bench() -> dict:
         "doc_lm_perplexity": TEXT_QUERIES["doc_lm_perplexity"],
         "doc_shared_passages": TEXT_QUERIES["doc_shared_passages"],
         "drift_psi_sources": VALIDATION_QUERIES["drift_psi_sources"],
+        "doc_chunks": TEXT_QUERIES["doc_chunks"],
+        "q3_shipping_priority": VALIDATION_QUERIES["q3_shipping_priority"],
+        "events_funnel": STREAM_QUERIES["events_funnel"],
+        "events_json_agg": STREAM_QUERIES["events_json_agg"],
         "events_sessionize": STREAM_QUERIES["events_sessionize"],
         "events_asof_join": STREAM_QUERIES["events_asof_join"],
         "events_range_join": STREAM_QUERIES["events_range_join"],
