@@ -52,11 +52,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         VALIDATION_QUERIES,
     )
 
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(ANOMALY_QUERIES)
-    out.update(VALIDATION_QUERIES)
-    out.update(TEXT_QUERIES)
-    out.update(STREAM_QUERIES)
+    merged: dict[str, Callable[[str], Any]] = {}
+    # The stream queries go FIRST: they are oracle-paired but had never been
+    # driver-evaluated (rounds 1-4 capped the CORRECTNESS run at the first 50
+    # registry entries), so they get priority in the driver's budget.
+    merged.update(STREAM_QUERIES)
+    merged.update(ANOMALY_QUERIES)
+    merged.update(VALIDATION_QUERIES)
+    merged.update(TEXT_QUERIES)
+    # Every oracle-paired query precedes every rows-only one, so a prefix cap
+    # on the driver's evaluation spends its slots on the hard bitwise checks.
+    oracles = oracle_sql()
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, fn in merged.items() if name in oracles
+    }
+    out.update({name: fn for name, fn in merged.items() if name not in oracles})
     return {name: _typed_collect(fn) for name, fn in out.items()}
 
 
