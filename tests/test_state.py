@@ -72,3 +72,47 @@ def test_tdigest_roundtrip():
     td2 = TDigest.from_dict(td.to_dict())
     assert td2.quantile(0.5) == td.quantile(0.5)
     assert td2.n == td.n
+
+
+# --------------------------------------------------------------------------
+# DedupIndex / DedupShard (vectorized LSM runs + per-tick idempotency)
+# --------------------------------------------------------------------------
+
+def test_dedup_index_first_wins_and_resize(ray_session):
+    from use_case_real_time_anomaly_detection_ray.state import dedup_index
+
+    idx = dedup_index.DedupIndex(n_shards=2)
+    rng = np.random.default_rng(7)
+    # enough batches/keys to cross the initial capacity → rehash path runs;
+    # key range includes 0 (the scalar-side sentinel special case)
+    all_seen: set[int] = set()
+    for b in range(20):
+        h = rng.integers(0, 5_000, 1_000).astype(np.uint64)
+        mask = idx.filter_new(h, tick=f"t{b}")
+        # oracle: sequential first-occurrence over the global stream
+        want = np.empty(len(h), bool)
+        seen = set(all_seen)
+        for i, k in enumerate(h.tolist()):
+            want[i] = k not in seen
+            seen.add(k)
+        assert (mask == want).all(), b
+        all_seen = seen
+    assert idx.size() == len(all_seen)
+
+
+def test_dedup_index_retry_idempotent(ray_session):
+    """A re-executed (batch, tick) — Ray retry / lineage reconstruction —
+    must get the SAME keep mask back, not see its own keys as dupes."""
+    from use_case_real_time_anomaly_detection_ray.state import dedup_index
+
+    idx = dedup_index.DedupIndex(n_shards=2)
+    h1 = np.array([10, 20, 30, 20], np.uint64)   # in-batch dup of 20
+    m1 = idx.filter_new(h1, tick="t1")
+    assert m1.tolist() == [True, True, True, False]
+    # same tick re-sends the identical batch → identical mask
+    assert idx.filter_new(h1, tick="t1").tolist() == m1.tolist()
+    # a LATER tick probing the same keys sees them all as dupes
+    assert idx.filter_new(h1, tick="t2").tolist() == [False] * 4
+    # new key in the retry-safe tick still admits
+    assert idx.filter_new(np.array([40], np.uint64), tick="t1").tolist() == [True]
+    assert idx.size() == 4

@@ -139,7 +139,8 @@ def streaming_dedup(
         def filt(t: pa.Table, _label=label) -> pa.Table:
             h = np.array([int(m[:16], 16) for m in t["text_md5"].to_pylist()],
                          np.uint64)
-            keep = index.filter_new(h) if len(h) else np.zeros(0, bool)
+            keep = (index.filter_new(h, tick=_label) if len(h)
+                    else np.zeros(0, bool))
             out = t.filter(pa.array(keep))
             return out.append_column(
                 tick_col, pa.array([_label] * out.num_rows, pa.string()))
