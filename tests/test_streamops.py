@@ -358,3 +358,36 @@ def test_json_field_agg_robustness(ray_session):
     got2 = (SO.json_field_agg(ray.data.from_arrow(tab2), group_col="user_id")
             .to_pandas().set_index("user_id").sort_index())
     assert got2.loc[7, "sum_v"] == 3 and got2.loc[9, "n_with"] == 0
+
+
+def test_tumbling_two_level_fold_paths_identical(ray_session):
+    """The two-level (window, type, user-subbucket) distinct fold must be
+    bitwise-identical to the single-shuffle fold — both tumbling and
+    hopping, across several subbucket widths (the GATES_DRIVER_BELOW
+    forced-path pattern)."""
+    rng = np.random.default_rng(5)
+    n = 4_000
+    t = pa.table({
+        "ts": pa.array(rng.integers(0, 20 * 3_600_000_000, n),
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["view", "click", "buy"], n)),
+        "user_id": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    def run(**kw):
+        return (SO.tumbling_agg(ds, **kw).to_pandas()
+                .sort_values(["window_start", "event_type"],
+                             ignore_index=True))
+
+    for kw in ({}, {"window_us": 2 * 3_600_000_000,
+                    "hop_us": 3_600_000_000}):
+        single = run(user_subbuckets=1, **kw)
+        for s in (4, 8, 32):
+            pd.testing.assert_frame_equal(run(user_subbuckets=s, **kw),
+                                          single)
+        # the module default (16) is the two-level path
+        pd.testing.assert_frame_equal(run(**kw), single)
+    with pytest.raises(ValueError):
+        SO.tumbling_agg(ds, user_subbuckets=0)

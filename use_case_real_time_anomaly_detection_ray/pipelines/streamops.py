@@ -34,6 +34,7 @@ import ray.data
 
 from ..sources.readers import read_table
 from ..stages.reduce import bucketed_merge_arrow
+from ..stages.salt import key_salt
 
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -289,11 +290,17 @@ def range_join_count(
 # tumbling-window aggregate
 # --------------------------------------------------------------------------
 
+#: user-hash subbuckets for the two-level distinct fold (1 = single-level).
+#: Tests force both paths and pin them equal (the GATES_DRIVER_BELOW pattern).
+TUMBLING_USER_SUBBUCKETS = 16
+
+
 def tumbling_agg(
     events: "ray.data.Dataset",
     window_us: int = _US_PER_HOUR,
     num_buckets: int = 64,
     hop_us: int | None = None,
+    user_subbuckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Per (time window, event_type): event count, DISTINCT user count,
     min/max value, exact-cents value sum. Tumbling by default; pass
@@ -306,16 +313,23 @@ def tumbling_agg(
     Distributed shape: blocks pre-aggregate to per-(window, type, user)
     partials with Arrow ``group_by`` (SIMD hash — a pandas groupby here was
     the dominant cost when key cardinality approaches row count and the
-    partial barely shrinks), then ONE bucket shuffle keyed on
-    (window, type): every row of a (window, type) group lands in one task,
-    which finishes the distinct-user fold and the final aggregate locally.
-    Partitioning assumption (documented): a single (window, type)'s
-    DISTINCT-USER partial set fits one task — rows shuffled per window are
-    bounded by distinct users in it, not events. For corpora where even
-    that is too hot, fall back to the two-level (window, type, user) bucket
-    shape at the cost of a second shuffle."""
+    partial barely shrinks), then a TWO-LEVEL distinct fold: shuffle 1 is
+    keyed on (window, type, user-hash subbucket) — all partials of one user
+    share a subbucket (``stages.salt.key_salt``), so each shuffle group
+    computes an exact per-subbucket distinct-user count and collapses to ONE
+    row — and shuffle 2 sums the ≤``user_subbuckets`` tiny per-subbucket
+    rows per (window, type). A hot window (10^9 distinct users in one hour)
+    therefore costs max-subbucket per task, not all-users-in-one-task, and
+    the second shuffle moves only windows × types × subbuckets rows.
+    ``user_subbuckets=1`` keeps the single-shuffle fold (exercised and
+    pinned output-equal by tests); both paths produce bitwise-identical
+    results (integer-cents sums, min/max, and the end-only /100 division
+    are associative-exact)."""
     if hop_us is not None and (hop_us <= 0 or window_us % hop_us):
         raise ValueError("hop_us must be a positive divisor of window_us")
+    subb = TUMBLING_USER_SUBBUCKETS if user_subbuckets is None else user_subbuckets
+    if subb < 1:
+        raise ValueError("user_subbuckets must be >= 1")
 
     def partial(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -339,15 +353,34 @@ def tumbling_agg(
                         use_threads=False).aggregate(
             [("cents", "count"), ("cents", "sum"),
              ("value", "min"), ("value", "max")])
-        return pa.table({
+        cols = {
             "win_us": a["win_us"], "event_type": a["event_type"],
             "user_id": a["user_id"], "n": a["cents_count"],
             "cents": a["cents_sum"], "mn": a["value_min"],
             "mx": a["value_max"],
-        })
+        }
+        if subb > 1:
+            # per-KEY salt after the shrink: all partials of one user share
+            # a subbucket, so per-subbucket distinct-user counts stay exact
+            cols["__subb"] = pa.array(key_salt(a["user_id"], subb))
+        return pa.table(cols)
 
     partials = events.map_batches(partial, batch_format="pyarrow",
                                   batch_size=None)
+
+    def _project(f: pa.Table, n_col: str, users_col: str, cents_col: str,
+                 mn_col: str, mx_col: str) -> pa.Table:
+        return pa.table({
+            "window_start": f["win_us"].cast(pa.timestamp("us")),
+            "event_type": f["event_type"],
+            "n_events": f[n_col].cast(pa.int64()),
+            "n_users": f[users_col].cast(pa.int64()),
+            "min_value": f[mn_col],
+            "max_value": f[mx_col],
+            "sum_value": pa.array(
+                f[cents_col].to_numpy(zero_copy_only=False) / 100.0,
+                pa.float64()),
+        })
 
     def merge(g: pa.Table) -> pa.Table:
         u = g.group_by(["win_us", "event_type", "user_id"],
@@ -356,20 +389,39 @@ def tumbling_agg(
         f = u.group_by(["win_us", "event_type"], use_threads=False).aggregate(
             [("n_sum", "sum"), ("user_id", "count"),
              ("cents_sum", "sum"), ("mn_min", "min"), ("mx_max", "max")])
+        return _project(f, "n_sum_sum", "user_id_count", "cents_sum_sum",
+                        "mn_min_min", "mx_max_max")
+
+    if subb == 1:
+        return bucketed_merge_arrow(partials, ["win_us", "event_type"],
+                                    merge, num_buckets)
+
+    def merge_subbucket(g: pa.Table) -> pa.Table:
+        # exact within the subbucket: one user's partials all land here
+        u = g.group_by(["win_us", "event_type", "user_id"],
+                       use_threads=False).aggregate(
+            [("n", "sum"), ("cents", "sum"), ("mn", "min"), ("mx", "max")])
+        f = u.group_by(["win_us", "event_type"], use_threads=False).aggregate(
+            [("n_sum", "sum"), ("user_id", "count"),
+             ("cents_sum", "sum"), ("mn_min", "min"), ("mx_max", "max")])
         return pa.table({
-            "window_start": f["win_us"].cast(pa.timestamp("us")),
-            "event_type": f["event_type"],
-            "n_events": f["n_sum_sum"].cast(pa.int64()),
-            "n_users": f["user_id_count"].cast(pa.int64()),
-            "min_value": f["mn_min_min"],
-            "max_value": f["mx_max_max"],
-            "sum_value": pa.array(
-                f["cents_sum_sum"].to_numpy(zero_copy_only=False) / 100.0,
-                pa.float64()),
+            "win_us": f["win_us"], "event_type": f["event_type"],
+            "n": f["n_sum_sum"], "nu": f["user_id_count"],
+            "cents": f["cents_sum_sum"], "mn": f["mn_min_min"],
+            "mx": f["mx_max_max"],
         })
 
-    return bucketed_merge_arrow(partials, ["win_us", "event_type"], merge,
-                                num_buckets)
+    def merge_final(g: pa.Table) -> pa.Table:
+        f = g.group_by(["win_us", "event_type"], use_threads=False).aggregate(
+            [("n", "sum"), ("nu", "sum"), ("cents", "sum"),
+             ("mn", "min"), ("mx", "max")])
+        return _project(f, "n_sum", "nu_sum", "cents_sum", "mn_min", "mx_max")
+
+    per_subbucket = bucketed_merge_arrow(
+        partials, ["win_us", "event_type", "__subb"], merge_subbucket,
+        num_buckets)
+    return bucketed_merge_arrow(per_subbucket, ["win_us", "event_type"],
+                                merge_final, num_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -403,9 +455,12 @@ def hash_sample(
              for i in ids),
             np.int64, len(ids),
         )
-        langs = t["lang"].to_pylist()
-        cut = np.fromiter((th.get(l, default_threshold) for l in langs),
-                          np.int64, len(langs))
+        ix = pc.fill_null(
+            pc.index_in(t["lang"], value_set=pa.array(list(th.keys()))),
+            len(th))
+        vals = np.append(np.fromiter(th.values(), np.int64, len(th)),
+                         default_threshold)
+        cut = vals[ix.to_numpy(zero_copy_only=False).astype(np.int64)]
         return t.filter(pa.array(hv < cut))
 
     return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
@@ -439,18 +494,16 @@ def window_funnel(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     if len(set(steps)) != len(steps):
-        # a dict step index would silently keep only the LAST position of a
-        # repeated type, tagging no row as step 0 → empty output, no error
+        # index_in returns the FIRST matching position, so a repeated type
+        # would silently alias two steps to one index → wrong funnel levels
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
-    step_ix = {s: k for k, s in enumerate(steps)}
 
     def tag(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t["event_type"], value_set=pa.array(list(steps)))
-        t = t.filter(keep)
-        st = np.fromiter((step_ix[x] for x in t["event_type"].to_pylist()),
-                         np.int8, t.num_rows)
+        ix = pc.index_in(t["event_type"], value_set=pa.array(list(steps)))
+        t = t.filter(pc.is_valid(ix))
+        st = pc.drop_null(ix).cast(pa.int8())
         return pa.table({"user_id": t["user_id"], "ts": t["ts"],
-                         "step": pa.array(st)})
+                         "step": st})
 
     tagged = events.map_batches(tag, batch_format="pyarrow", batch_size=None)
 
@@ -634,8 +687,11 @@ def temperature_sample(
              for i in ids),
             np.int64, len(ids),
         )
-        cut = np.fromiter((cuts.get(p, 0) for p in t[part_col].to_pylist()),
-                          np.int64, t.num_rows)
+        ix = pc.fill_null(
+            pc.index_in(t[part_col], value_set=pa.array(list(cuts.keys()))),
+            len(cuts))
+        vals = np.append(np.fromiter(cuts.values(), np.int64, len(cuts)), 0)
+        cut = vals[ix.to_numpy(zero_copy_only=False).astype(np.int64)]
         return t.filter(pa.array(hv < cut))
 
     return docs.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -24,6 +24,19 @@ import ray.data
 
 from .reduce import bucketed_merge, grouped_agg
 
+_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def key_salt(col: "pa.ChunkedArray | pa.Array", num_salts: int) -> np.ndarray:
+    """Deterministic per-KEY salt: Fibonacci-mixed hash of an integer key
+    column mod ``num_salts`` (int32). All rows of one key share a salt, so
+    per-salt DISTINCT / first-seen folds stay exact while a hot aggregation
+    key's reducer work splits across ``num_salts`` shuffle groups — the
+    subbucket mechanism of ``streamops.tumbling_agg``'s two-level
+    distinct-user fold."""
+    v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return ((v * _KEY_MIX) % np.uint64(num_salts)).astype(np.int32)
+
 
 def salted_agg(
     ds: "ray.data.Dataset",
