@@ -293,3 +293,35 @@ def test_sniff_formats(rng):
     assert C.sniff_format(b"\x00\x00\x00\x18ftypmp42") == "mp4"
     assert C.sniff_format(b"ID3\x04rest") == "mp3"
     assert C.sniff_format(b"\x00garbage") == "unknown"
+
+
+def test_palette_index_out_of_range_is_valueerror():
+    """Malformed palettes follow the uniform ValueError contract, not a bare
+    IndexError from the fancy index — PNG color type 3 and GIF alike."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)  # 2 entries
+    idx = np.array([[0, 5]], np.uint8)                    # index 5 > 1
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(b"\x00" + idx.tobytes()))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index out of range"):
+        C.decode_png(png)
+
+    # GIF: shrink the encoder's color-table size field so decoded LZW
+    # indices exceed the table (encode_gif emits a 256-entry identity table;
+    # flags 0xF7 -> 2<<7 = 256, patch to 0xF0 -> 2<<0 = 2 entries)
+    img = np.array([[0, 200]], np.uint8)
+    g = bytearray(C.encode_gif(img))
+    assert g[10] & 0x80  # global color table present
+    g[10] = (g[10] & 0xF8) | 0x00  # table size 2
+    # drop the extra 254*3 palette bytes the header no longer claims
+    del g[13 + 2 * 3:13 + 256 * 3]
+    with pytest.raises(ValueError, match="index out of range"):
+        C.decode_gif(bytes(g))

@@ -618,3 +618,69 @@ def test_q3_empty_filters_return_typed_empty(ray_session, monkeypatch):
     assert list(out.columns) == ["o_orderkey", "o_orderdate",
                                  "o_orderpriority", "revenue"]
     assert len(out) == 0
+
+
+def test_schema_check_fanout_path_equals_serial(tmp_path_factory, ray_session,
+                                                monkeypatch):
+    """The Ray-fanned footer-read path (driver loop is O(files) otherwise)
+    must emit the identical violation table as the serial path."""
+    import pyarrow.parquet as pq
+    from use_case_real_time_anomaly_detection_ray.datagen import (
+        CorpusSpec, generate_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("schemaf") / "c")
+    generate_corpus(d, CorpusSpec(n_parts=4, rows_per_part=100,
+                                  n_out_of_range=0, n_duplicates=0,
+                                  n_dangling=0))
+    f1 = os.path.join(d, "part=1", "data.parquet")
+    pq.write_table(pq.read_table(f1).drop_columns(["lang"]), f1)
+    f3 = os.path.join(d, "part=3", "data.parquet")
+    with open(f3, "wb") as fh:
+        fh.write(b"not a parquet file")  # unreadable footer → quarantine row
+    parts = {p: [os.path.join(d, f"part={p}", "data.parquet")]
+             for p in range(4)}
+
+    serial = validate.schema_violations(parts)
+    monkeypatch.setattr(validate, "SCHEMA_FANOUT_ABOVE", 0)
+    fanned = validate.schema_violations(parts)
+    assert serial.num_rows == 2
+    assert fanned.equals(serial)
+
+
+def test_bucketed_join_empty_side_keeps_known_schema(ray_session):
+    """An all-filtered SCHEMA-LESS side (Ray drops the schema with the
+    blocks) degrades to an empty result that still carries every KNOWN
+    joined column — the surviving side's schema — instead of a zero-column
+    table that crashes downstream selects (ADVICE r4). A zero-row side that
+    KEPT its schema joins normally and yields the full joined schema."""
+    import pyarrow as pa
+
+    import ray.data
+    from use_case_real_time_anomaly_detection_ray.stages.join import (
+        bucketed_join,
+    )
+
+    left = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "v": pa.array([0.5, 1.5], pa.float64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "w": pa.array(["x"], pa.string()),
+    }))
+    # schema-less empty (filter drops blocks AND schema): the right side's
+    # extra columns are unknowable — the left schema must still survive
+    schemaless = right.filter(lambda r: False)
+    assert schemaless.schema() is None
+    out = bucketed_join(left, schemaless, on=["id"], prefer_native=False)
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"id", "v"}
+    assert bucketed_join(left, schemaless, on=["id"], prefer_native=False) \
+        .select_columns(["id", "v"]).count() == 0
+    # zero-row WITH schema: full joined schema, empty result
+    empty_typed = right.map_batches(lambda t: t.slice(0, 0),
+                                    batch_format="pyarrow")
+    out2 = bucketed_join(left, empty_typed, on=["id"], prefer_native=False)
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"id", "v", "w"}

@@ -568,6 +568,55 @@ SCHEMA_CONTRACT: dict[str, tuple] = {
 }
 
 
+#: fan the per-fragment footer reads out through Ray above this many
+#: fragments — a serial driver loop over tens of millions of files would be
+#: a driver-bound O(files) pre-pass dominating wall clock (ADVICE r4); below
+#: it, task overhead exceeds the footer reads. Both paths are pinned
+#: output-equal by a forced-path test.
+SCHEMA_FANOUT_ABOVE = 256
+
+
+def _schema_check_fragment(part: int, frag: str,
+                           rows: dict[str, list]) -> None:
+    """Footer-check one fragment, appending violation rows (shared by the
+    serial and Ray-fanned paths so their outputs are identical)."""
+
+    def emit(n_defects: int, note: str) -> None:
+        rows["check"].append("schema")
+        rows["part"].append(int(part))
+        rows["repo"].append("")
+        rows["path"].append(os.path.basename(frag))
+        rows["commit"].append("")
+        rows["value"].append(float(n_defects))
+        rows["anomaly_type"].append("schema")
+        rows["note"].append(note)
+        rows["sha256"].append("")
+
+    try:
+        sch = pq.read_schema(frag)
+    except Exception as e:  # truncated/corrupt footer: quarantine, never
+        # crash — the most common real corruption is a file torn mid-write,
+        # and one such file must not kill the run
+        emit(1, f"schema: unreadable parquet footer ({e})")
+        return
+    have = {n: sch.field(n).type for n in sch.names}
+    defects = []
+    for col, ok_types in SCHEMA_CONTRACT.items():
+        if col not in have:
+            defects.append(f"missing column '{col}'")
+        elif have[col] not in ok_types:
+            defects.append(f"column '{col}' type {have[col]} != string")
+    if defects:
+        emit(len(defects), "schema: " + "; ".join(defects))
+
+
+def _schema_check_batch(t: pa.Table) -> pa.Table:
+    rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+    for part, frag in zip(t["part"].to_pylist(), t["frag"].to_pylist()):
+        _schema_check_fragment(part, frag, rows)
+    return _viol_table(rows)
+
+
 def schema_violations(parts: dict[int, list[str]]) -> pa.Table:
     """Schema-contract check — the literal "schema" half of "schema +
     constraint validation" (BASELINE.json north_rule): every partition's
@@ -575,42 +624,27 @@ def schema_violations(parts: dict[int, list[str]]) -> pa.Table:
     Metadata-only (``pq.read_schema`` per fragment — no data scan), so it
     runs on EVERY part each run like referential, needing no manifest
     snapshot; one violation row per (part, defect), value = defect count
-    of that fragment's schema."""
-    rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+    of that fragment's schema. Above ``SCHEMA_FANOUT_ABOVE`` fragments the
+    footer reads fan out as a Ray map over the fragment list (the I/O is
+    per-file and embarrassingly parallel); the output is sorted by
+    (part, path) so both paths emit identical tables."""
+    items = [(part, frag) for part in sorted(parts) for frag in parts[part]]
+    if len(items) <= SCHEMA_FANOUT_ABOVE:
+        rows: dict[str, list] = {c: [] for c in VIOLATION_COLS}
+        for part, frag in items:
+            _schema_check_fragment(part, frag, rows)
+        out = _viol_table(rows)
+    else:
+        from ..stages.reduce import to_arrow_single
 
-    def emit(part: int, path: str, n_defects: int, note: str) -> None:
-        rows["check"].append("schema")
-        rows["part"].append(int(part))
-        rows["repo"].append("")
-        rows["path"].append(path)
-        rows["commit"].append("")
-        rows["value"].append(float(n_defects))
-        rows["anomaly_type"].append("schema")
-        rows["note"].append(note)
-        rows["sha256"].append("")
-
-    for part in sorted(parts):
-        for frag in parts[part]:
-            try:
-                sch = pq.read_schema(frag)
-            except Exception as e:  # truncated/corrupt footer: quarantine,
-                # never crash — the most common real corruption is a file
-                # torn mid-write, and one such file must not kill the run
-                emit(part, os.path.basename(frag), 1,
-                     f"schema: unreadable parquet footer ({e})")
-                continue
-            have = {n: sch.field(n).type for n in sch.names}
-            defects = []
-            for col, ok_types in SCHEMA_CONTRACT.items():
-                if col not in have:
-                    defects.append(f"missing column '{col}'")
-                elif have[col] not in ok_types:
-                    defects.append(
-                        f"column '{col}' type {have[col]} != string")
-            if defects:
-                emit(part, os.path.basename(frag), len(defects),
-                     "schema: " + "; ".join(defects))
-    return _viol_table(rows)
+        frag_ds = ray.data.from_arrow(pa.table({
+            "part": pa.array([p for p, _ in items], pa.int32()),
+            "frag": pa.array([f for _, f in items], pa.string()),
+        }))
+        out = to_arrow_single(
+            frag_ds.map_batches(_schema_check_batch, batch_format="pyarrow"))
+    return out.sort_by([("part", "ascending"), ("path", "ascending"),
+                        ("note", "ascending")])
 
 
 def length_hist(light: "ray.data.Dataset", cfg: ValidationConfig) -> pd.DataFrame:

@@ -468,24 +468,39 @@ def q_q3_shipping_priority(sf_dir: str):
     joined = bucketed_join(orders, line_pre, on=["o_orderkey"],
                            prefer_native=False)
 
-    def topk_partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
-                       sort=False)["rev"].sum().reset_index()
-        g["revenue"] = np.floor(g["rev"] * 100.0 + 0.5) / 100.0
-        g = g.sort_values(["revenue", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort").head(_Q3_K)
+    def order_partial(t: pa.Table) -> pa.Table:
+        # per-block per-order sums, NO head(k): Ray's dynamic block splitting
+        # may slice one join-bucket output into several blocks, so an order's
+        # fragments can straddle blocks — a block-local top-k could drop a
+        # fragment of a true top-k order (ADVICE r4). Full per-order partials
+        # are safe and stay small (≤ orders-in-block rows).
+        g = t.group_by(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                       use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({
+            "o_orderkey": g["o_orderkey"], "o_orderdate": g["o_orderdate"],
+            "o_orderpriority": g["o_orderpriority"], "rev": g["rev_sum"],
+        })
+
+    def topk_merge(g: pa.Table) -> pa.Table:
+        # keyed on o_orderkey: every fragment of an order lands here, so the
+        # per-order fold is complete and the bucket-local top-k is sound
+        df = (g.to_pandas()
+              .groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False)["rev"].sum().reset_index())
+        df["revenue"] = np.floor(df["rev"] * 100.0 + 0.5) / 100.0
+        df = (df.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+              .head(_Q3_K))
         return pa.Table.from_pandas(
-            g[["o_orderkey", "o_orderdate", "o_orderpriority", "rev"]],
+            df[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]],
             preserve_index=False).replace_schema_metadata(None)
 
-    # bucketed_join(prefer_native=False) already emitted ONE block per
-    # hash(o_orderkey) bucket, so every order's rows are complete within
-    # a block: a map over the join output is a correct top-k partial — a
-    # second bucketed shuffle would re-partition identically for nothing
-    from ..stages.reduce import to_arrow_single
+    from ..stages.reduce import bucketed_merge_arrow, to_arrow_single
 
-    parts = joined.map_batches(topk_partial, batch_format="pandas",
-                               batch_size=None)
+    parts = bucketed_merge_arrow(
+        joined.map_batches(order_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["o_orderkey"], topk_merge)
     out = to_arrow_single(parts).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({
@@ -494,9 +509,7 @@ def q_q3_shipping_priority(sf_dir: str):
             "o_orderpriority": pd.Series([], dtype=object),
             "revenue": pd.Series([], dtype="float64"),
         })
-    out = (out.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
-                       sort=False)["rev"].sum().reset_index())
-    out["revenue"] = np.floor(out["rev"] * 100.0 + 0.5) / 100.0
+    # driver folds buckets × k pre-rounded rows — never the full order table
     out = (out.sort_values(["revenue", "o_orderkey"],
                            ascending=[False, True], kind="mergesort")
            .head(_Q3_K).reset_index(drop=True))

@@ -491,6 +491,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
+        if recon.size and int(recon.max()) >= len(palette):
+            # uniform malformed-payload contract: ValueError, not a bare
+            # IndexError from the fancy index (ADVICE r4)
+            raise ValueError("palette index out of range")
         return _rgb_to_gray(palette)[recon]  # luma on ≤256 entries, not h×w
     if color_type == 4:   # gray + alpha: keep the gray sample
         return recon.reshape(height, width, 2)[..., 0].copy()
@@ -716,6 +720,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 rows = np.empty(h, np.int64)
                 rows[_gif_interlace_order(h)] = np.arange(h)
                 idx = idx[rows]
+            if idx.size and int(idx.max()) >= len(pal):
+                raise ValueError("color table index out of range")
             return _rgb_to_gray(pal)[idx]
         elif block == 0x3B:  # trailer
             break

@@ -159,8 +159,15 @@ def bucketed_join(
     if lsch is None or rsch is None:
         # a fully-empty side has no schema at all (Ray drops it with the
         # blocks); an inner join with an empty side is empty — return a
-        # zero-row dataset instead of crashing on .names
-        return ray.data.from_arrow(pa.table({}))
+        # zero-row dataset that still carries every KNOWN joined column, so
+        # downstream selects/groupbys see their columns instead of crashing
+        # on a zero-column table (ADVICE r4)
+        cols: dict[str, pa.Array] = {}
+        for sch in (lsch, rsch):
+            if sch is not None:  # ray Schema wrapper: .names / .types
+                for name, typ in zip(sch.names, sch.types):
+                    cols.setdefault(name, pa.array([], typ))
+        return ray.data.from_arrow(pa.table(cols))
     lcols = [c for c in lsch.names]
     rcols = [c for c in rsch.names]
     r_extra = [c for c in rcols if c not in on]
