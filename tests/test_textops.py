@@ -1174,3 +1174,45 @@ def test_chunk_documents_exact(ray_session):
         assert rebuilt == txt
     with pytest.raises(ValueError):
         textops.chunk_documents(ds, size=100, overlap=100)
+
+
+def test_r4_scale_paths_never_materialize_corpus_text(corpus, monkeypatch):
+    """VERDICT r4 #7: the round-4 operators' scale paths — lm_perplexity's
+    forced three-hop wiring, tfidf's forced bucketed wiring,
+    shared_passages, and window_funnel — run end-to-end with
+    Dataset.to_pandas guarded: no driver pull may carry the raw text
+    column (per-doc/per-gram RESULT frames are legitimate driver pulls;
+    the corpus text is not)."""
+    from use_case_real_time_anomaly_detection_ray.pipelines import (
+        streamops as SO,
+    )
+
+    df, _dup, _e = corpus
+    n = len(df)
+    orig = ray.data.Dataset.to_pandas
+
+    def guarded(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        assert "text" not in out.columns, "corpus text pulled to the driver"
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
+    monkeypatch.setattr(textops, "LM_BROADCAST_VOCAB", 0)
+    ppl = textops.lm_perplexity(_ds(df))
+    tf = textops.tfidf_top_terms(_ds(df), m=3, broadcast_vocab=0)
+    sp = textops.shared_passages(_ds(df), k=8, min_docs=2)
+    ev = pa.table({
+        "ts": pa.array(np.arange(40) * 60_000_000, pa.int64())
+                .cast(pa.timestamp("us")),
+        "user_id": pa.array(np.arange(40) % 5, pa.int64()),
+        "event_type": pa.array((["view", "click", "buy", "view"] * 10)[:40]),
+    })
+    fun = SO.window_funnel(ray.data.from_arrow(ev),
+                           steps=("view", "click", "buy"))
+    # consume everything while still guarded — the collects themselves must
+    # not smuggle text
+    assert len(ppl) > 0 and "ppl" in ppl.columns
+    assert len(tf.to_pandas()) > 0
+    assert len(sp.to_pandas()) >= 0
+    assert len(fun.to_pandas()) > 0
+    monkeypatch.undo()
