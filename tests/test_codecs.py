@@ -325,3 +325,137 @@ def test_palette_index_out_of_range_is_valueerror():
     del g[13 + 2 * 3:13 + 256 * 3]
     with pytest.raises(ValueError, match="index out of range"):
         C.decode_gif(bytes(g))
+
+
+# -------------------------------------------------------------------- JPEG
+
+def test_jpeg_idct_basis_matches_direct_sum(rng):
+    """The orthonormal-basis IDCT (Aᵀ F A) must equal the T.81 A.3.3 direct
+    sum f(x,y) = ΣΣ c(u)c(v) F(u,v) cos((2x+1)uπ/16) cos((2y+1)vπ/16) —
+    an independent oracle for the DCT convention."""
+    F = rng.normal(0, 100, (8, 8))
+    A = C._JPEG_A
+    fast = A.T @ F @ A
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(1 / 8) if u == 0 else 0.5
+                    cv = np.sqrt(1 / 8) if v == 0 else 0.5
+                    s += (cu * cv * F[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            direct[x, y] = s
+    assert np.abs(fast - direct).max() < 1e-9
+
+
+def test_jpeg_block_constant_roundtrip_exact(rng):
+    """At quant=1 a per-block-constant image has integral DC and zero ACs:
+    decode(encode(x)) must be byte-exact."""
+    for h, w in ((1, 1), (2, 3), (4, 4)):
+        img = np.repeat(np.repeat(
+            rng.integers(0, 256, (h, w), dtype=np.uint8), 8, 0), 8, 1)
+        assert (C.decode_jpeg(C.encode_jpeg(img)) == img).all()
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (24, 33), (40, 56), (7, 3), (64, 1)])
+def test_jpeg_gray_roundtrip_within_one(rng, h, w):
+    """quant=1 random gray: the only loss is DCT-coefficient rounding,
+    bounded at ±1 per pixel."""
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = C.decode_jpeg(C.encode_jpeg(img))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_jpeg_restart_intervals(rng, ri):
+    """DRI + RSTn markers: predictors reset per interval; reconstruction
+    stays within the quant=1 ±1 bound. (Restart vs non-restart payloads may
+    differ by single coefficient ULPs — batched vs per-block FDCT rounds a
+    coefficient sitting exactly on .5 differently — so compare against the
+    ORIGINAL image, not the other payload.)"""
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    payload = C.encode_jpeg(img, restart_interval=ri)
+    n_rst = sum(payload.count(bytes([0xFF, 0xD0 + k])) for k in range(8))
+    assert n_rst >= (35 - 1) // ri  # 5x7 MCUs, a restart between intervals
+    out = C.decode_jpeg(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    # color interleaved with restarts: same MCU-loop encoder both sides ->
+    # byte-identical coefficients, exact match
+    img3 = rng.integers(0, 256, (17, 25, 3), dtype=np.uint8)
+    a = C.decode_jpeg(C.encode_jpeg(img3, restart_interval=2))
+    b = C.decode_jpeg(C.encode_jpeg(img3))
+    assert (a == b).all()
+
+
+def test_jpeg_color_luma(rng):
+    """Interleaved 4:4:4 color: the decoded plane is the Y channel, within
+    ±1 of the Rec.601 luma of the RGB input (round-trip rounding)."""
+    img = rng.integers(0, 256, (25, 31, 3), dtype=np.uint8)
+    out = C.decode_jpeg(C.encode_jpeg(img))
+    r, g, b = (img[..., i].astype(float) for i in range(3))
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    assert np.abs(out.astype(float) - y).max() <= 1
+
+
+def test_jpeg_16bit_quant_tables(rng):
+    """quant entries > 255 switch DQT to 16-bit precision on both sides."""
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    payload = C.encode_jpeg(img, quant=np.full(64, 300))
+    out = C.decode_jpeg(payload)
+    assert out.shape == img.shape  # heavy quantization: shape/validity only
+    # a block-constant image survives even 16-bit quantization of zero ACs
+    flat = np.full((16, 16), 144, np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg(flat, quant=np.full(64, 300)))
+    # DC quantizes to round(8*(144-128)/300)=0 -> reconstructs 128
+    assert (dec == 128).all()
+
+
+def test_jpeg_quantized_plausible(rng):
+    img = (rng.integers(0, 64, (32, 32), dtype=np.uint8)
+           + np.linspace(0, 128, 32, dtype=np.uint8)[None, :])
+    out = C.decode_jpeg(C.encode_jpeg(img, quant=16))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
+
+
+def test_jpeg_malformed_and_unsupported():
+    img = np.full((8, 8), 100, np.uint8)
+    good = C.encode_jpeg(img)
+    with pytest.raises(ValueError, match="SOI"):
+        C.decode_jpeg(b"\x00\x01")
+    with pytest.raises(ValueError, match="truncated|extends past"):
+        C.decode_jpeg(good[:len(good) - 6])
+    big = C.encode_jpeg(np.arange(64 * 64, dtype=np.uint8).reshape(64, 64))
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_jpeg(big[:len(big) - 40])  # cut inside the entropy stream
+    # flip SOF0 -> SOF2: progressive must be an explicit gate
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        C.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        C.encode_jpeg(np.zeros((0, 8), np.uint8))
+    with pytest.raises(ValueError):
+        C.encode_jpeg(img, quant=0)
+    assert C.sniff_format(good) == "jpeg"
+
+
+def test_jpeg_real_decoder_and_media_table(ray_session):
+    """RealDecoder dispatches jpeg; the mixed synth table round-trips
+    through decode_features with real decoding."""
+    from use_case_real_time_anomaly_detection_ray.stages.multimodal import (
+        RealDecoder, decode_features, synth_media_table,
+    )
+    import ray.data
+
+    img = np.repeat(np.repeat(
+        np.arange(4, dtype=np.uint8).reshape(2, 2) * 60, 8, 0), 8, 1)
+    assert (RealDecoder().decode(C.encode_jpeg(img)) == img).all()
+    t = synth_media_table(n=18, seed=3, fmt="mixed")
+    assert "jpeg" in set(t["format"].to_pylist())
+    out = decode_features(ray.data.from_arrow(t), decoder="real").to_pandas()
+    assert len(out) == 18
+    jp = out[out["format"] == "jpeg"]
+    assert len(jp) == 3 and (jp["pix_std"] > 0).all()

@@ -45,16 +45,16 @@ def test_frame_sampling(media_ds):
 
 
 def test_compressed_codecs_are_explicit_stubs():
-    """Real decode works for BMP/PGM/PNG/WAV/Y4M; payloads in formats that
-    need external codec libraries (JPEG here) raise an explicit
-    NotImplementedError naming the sniffed format."""
+    """Real decode works for BMP/PGM/PNG/GIF/JPEG/WAV/Y4M; payloads in
+    formats that genuinely need external codec libraries (MP3 here) raise
+    an explicit NotImplementedError naming the sniffed format."""
     stage = MM.DecodeStage(decoder="real")
-    jpeg_table = MM.synth_media_table(n=1, fmt="bmp").set_column(
+    mp3_table = MM.synth_media_table(n=1, fmt="bmp").set_column(
         6, "payload",
-        __import__("pyarrow").array([b"\xff\xd8\xff\xe0JFIF....."],
+        __import__("pyarrow").array([b"ID3\x04\x00....."],
                                     __import__("pyarrow").large_binary()))
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        stage(jpeg_table)
+    with pytest.raises(NotImplementedError, match="mp3"):
+        stage(mp3_table)
     with pytest.raises(ValueError):
         MM.DecodeStage(decoder="nonsense")
 

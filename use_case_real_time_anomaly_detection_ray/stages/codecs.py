@@ -19,12 +19,19 @@ implementable without any image/audio library:
   reset, global/local color tables, Adam-style 4-pass interlacing,
   extension-block skipping — a second real compressed codec in pure
   python/numpy (LZW needs no external decompressor at all).
+- **JPEG** (ITU-T T.81 baseline sequential DCT): canonical Huffman
+  entropy decoding, zigzag dequantization, orthonormal 8x8 IDCT,
+  byte-stuffing, restart markers, 8/16-bit DQT, grayscale and
+  interleaved color (full-resolution luma); returns the Y plane.
+  Progressive/arithmetic/12-bit/hierarchical frames raise ValueError.
 
-Remaining compressed formats (JPEG/MP3/MP4/...) genuinely need external
+Remaining compressed formats (MP3/MP4/...) genuinely need external
 codec libraries that are not in this container; :func:`sniff_format`
 classifies them so callers can raise an explicit ``NotImplementedError``
 instead of misparsing. Encoders exist for every decoder so tests can pin
-byte-exact round-trips (encode -> decode == original array).
+round-trips — byte-exact for the lossless codecs (and for JPEG at
+quant=1 on per-block-constant images, where every DCT coefficient is
+integral), ±1/pixel for general JPEG (coefficient rounding).
 """
 
 from __future__ import annotations
@@ -42,7 +49,6 @@ import numpy as np
 
 #: magic -> format name for compressed formats we explicitly do NOT decode
 _COMPRESSED_MAGIC = (
-    (b"\xff\xd8\xff", "jpeg"),
     (b"ID3", "mp3"),
     (b"\xff\xfb", "mp3"),
     (b"OggS", "ogg"),
@@ -53,10 +59,12 @@ _COMPRESSED_MAGIC = (
 def sniff_format(payload: bytes) -> str:
     """Classify a payload by magic bytes.
 
-    Returns one of ``bmp pgm wav y4m png gif`` (decodable here), a
-    compressed-format name (``jpeg mp4 ...`` — NOT decodable here), or
+    Returns one of ``bmp pgm wav y4m png gif jpeg`` (decodable here), a
+    compressed-format name (``mp3 mp4 ...`` — NOT decodable here), or
     ``unknown``.
     """
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:4] == b"GIF8":
@@ -728,3 +736,528 @@ def decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF stream contains no image")
+
+
+# --------------------------------------------------------------------------
+# JPEG — ITU-T T.81 baseline sequential DCT (SOF0), pure numpy + stdlib
+# --------------------------------------------------------------------------
+#
+# A third REAL compressed codec: canonical Huffman entropy coding, zigzag
+# dequantization, 8x8 type-II/III DCT via an orthonormal basis matrix,
+# byte-stuffing and restart-marker handling. The decoder returns the LUMA
+# plane — JPEG's Y channel IS the Rec.601 luma every other decoder here
+# reduces to — decoding every component's entropy data (the interleaved
+# bitstream cannot be skipped) but running the IDCT only on Y blocks.
+# Progressive (SOF2), arithmetic-coded, hierarchical and 12-bit frames
+# raise ValueError naming the feature. The encoder produces baseline
+# grayscale or 4:4:4 YCbCr JPEGs with the Annex K "typical" Huffman tables,
+# so decode(encode(img)) round-trips: exactly for per-block-constant images
+# at quant=1 (DC is integral, every AC is zero), within ±1/pixel otherwise
+# (DCT-coefficient rounding) — pinned by tests, alongside an independent
+# O(N^4) direct-sum IDCT oracle.
+
+#: zigzag scan position -> natural (row-major) coefficient index (T.81 fig 5)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+#: orthonormal 8-point DCT-II basis: A[u,x] = c(u) cos((2x+1)uπ/16);
+#: FDCT F = A f Aᵀ, IDCT f = Aᵀ F A
+_JPEG_A = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)] for u in range(8)
+])
+
+# Annex K.3 "typical" Huffman tables: (BITS counts for lengths 1..16, values)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value -> (code, length) (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """T.81 F.2.2.3 DECODE: mincode/maxcode/valptr per code length."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        if sum(bits) != len(vals):
+            raise ValueError("DHT counts do not match value list length")
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.bit()
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            code = (code << 1) | br.bit()
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    restart markers are consumed explicitly via :meth:`restart`."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        buf, p = self.buf, self.pos
+        if p >= len(buf):
+            raise ValueError("JPEG entropy stream truncated")
+        b = buf[p]
+        self.pos = p + 1
+        if b == 0xFF:
+            if self.pos >= len(buf):
+                raise ValueError("JPEG entropy stream truncated after 0xFF")
+            if buf[self.pos] != 0x00:
+                raise ValueError(
+                    f"marker 0xFF{buf[self.pos]:02X} inside entropy segment")
+            self.pos += 1
+        return b
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self.cur = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker between restart intervals."""
+        self.nbits = 0
+        buf = self.buf
+        if self.pos + 1 >= len(buf):
+            raise ValueError("JPEG truncated at restart marker")
+        if buf[self.pos] != 0xFF or buf[self.pos + 1] != 0xD0 + expected:
+            raise ValueError("missing or out-of-order JPEG restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude code to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential DCT JPEG to its (h, w) uint8 LUMA plane
+    (JPEG's Y channel is Rec.601 luma). Raises ``ValueError`` for malformed
+    streams and for honest unsupported-feature gates (progressive,
+    arithmetic coding, 12-bit, hierarchical)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while scan is None:
+        if pos + 1 >= len(payload):
+            raise ValueError("JPEG truncated before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker, got 0x{payload[pos]:02X}")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= len(payload):
+            raise ValueError("JPEG truncated in marker")
+        m = payload[pos]
+        pos += 1
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        if m == 0xD9:
+            raise ValueError("JPEG ended (EOI) before any scan")
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG truncated in segment length")
+        ln = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("JPEG segment extends past end of stream")
+        pos += ln
+        if m == 0xDB:  # DQT: tables stored in ZIGZAG order, 8- or 16-bit
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                n = 64 * (pq + 1)
+                raw = np.frombuffer(seg, np.uint8, 64, i) if pq == 0 else \
+                    np.frombuffer(seg, ">u2", 64, i)
+                q = np.zeros(64, np.int64)
+                q[_JPEG_ZIGZAG] = raw
+                qts[tq] = q
+                i += n
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
+                i += 17 + nv
+        elif m == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif m == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG frame type 0xC{m & 0xF:X} not supported "
+                             "(only baseline SOF0)")
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel.append((cid, tt >> 4, tt & 0x0F))
+            scan = sel
+        # APPn / COM / anything else with a length: skipped
+
+    if frame is None:
+        raise ValueError("JPEG has no SOF0 frame header")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("JPEG frame has zero dimension")
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    order = []
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            raise ValueError(f"SOS references unknown component {cid}")
+        hs, vs, tq = by_id[cid]
+        if tq not in qts:
+            raise ValueError(f"missing quantization table {tq}")
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("missing Huffman table referenced by SOS")
+        order.append((cid, hs, vs, qts[tq], dc_tabs[td], ac_tabs[ta]))
+
+    y_cid = comps[0][0]  # first frame component is Y (single-comp: the image)
+    hmax = max(hs for _, hs, _, _, _, _ in order)
+    vmax = max(vs for _, _, vs, _, _, _ in order)
+    interleaved = len(order) > 1
+    if interleaved:
+        yh, yv = by_id[y_cid][0], by_id[y_cid][1]
+        if (yh, yv) != (hmax, vmax):
+            raise ValueError("subsampled luma not supported (Y must be "
+                             "full-resolution)")
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        blocks_per_mcu = [(hs, vs) for _, hs, vs, _, _, _ in order]
+        yw_blocks, yh_blocks = mcus_x * hmax, mcus_y * vmax
+    else:
+        mcus_x = -(-w // 8)
+        mcus_y = -(-h // 8)
+        blocks_per_mcu = [(1, 1)]
+        yw_blocks, yh_blocks = mcus_x, mcus_y
+
+    br = _BitReader(payload, pos)
+    preds = {cid: 0 for cid, *_ in order}
+    y_coefs = np.zeros((yh_blocks * yw_blocks, 8, 8))
+    zz = _JPEG_ZIGZAG
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mi in range(n_mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(mi, mcus_x)
+        for (cid, hs, vs, q, dct, act), (bh, bv) in zip(order, blocks_per_mcu):
+            for b in range(bh * bv):
+                coef = np.zeros(64, np.int64)
+                s = dct.decode(br)
+                diff = _extend(br.receive(s), s)
+                preds[cid] += diff
+                coef[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = act.decode(br)
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if rs == 0xF0:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past end of block")
+                    coef[zz[k]] = _extend(br.receive(size), size)
+                    k += 1
+                if cid == y_cid:
+                    bby, bbx = divmod(b, bh)
+                    yb = (my * (bv if interleaved else 1) + bby) * yw_blocks \
+                        + mx * (bh if interleaved else 1) + bbx
+                    y_coefs[yb] = (coef * q).reshape(8, 8)
+
+    # batch IDCT over every Y block: f = Aᵀ F A
+    A = _JPEG_A
+    px = np.einsum("ux,nuv,vy->nxy", A, y_coefs, A) + 128.0
+    px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+    plane = (px.reshape(yh_blocks, yw_blocks, 8, 8)
+             .transpose(0, 2, 1, 3)
+             .reshape(yh_blocks * 8, yw_blocks * 8))
+    return plane[:h, :w].copy()
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad final byte with 1s
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a marker (restart) — markers are never
+        byte-stuffed."""
+        self.flush()
+        self.out += bytes([0xFF, m])
+
+
+def _encode_blocks(plane: np.ndarray, q: np.ndarray, bw: _BitWriter,
+                   dc_codes: dict, ac_codes: dict, pred: int) -> int:
+    """FDCT + quantize + entropy-code every 8x8 block of one component
+    plane (already padded to multiples of 8), row-major. Returns the final
+    DC predictor."""
+    hb, wb = plane.shape[0] // 8, plane.shape[1] // 8
+    f = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).astype(np.float64)
+    f -= 128.0
+    A = _JPEG_A
+    F = np.einsum("xu,nmxy,yv->nmuv", A.T, f, A.T)  # F = A f Aᵀ
+    Fq = F.reshape(hb * wb, 64) / q
+    Fi = np.where(Fq >= 0, np.floor(Fq + 0.5), np.ceil(Fq - 0.5)).astype(np.int64)
+    zz = _JPEG_ZIGZAG
+    for n in range(hb * wb):
+        coef = Fi[n]
+        diff = int(coef[0]) - pred
+        pred = int(coef[0])
+        s = abs(diff).bit_length()
+        mag = diff if diff >= 0 else diff + (1 << s) - 1
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(mag, s)
+        run = 0
+        zzc = coef[zz]
+        nz = np.flatnonzero(zzc[1:]) + 1
+        last = nz[-1] if len(nz) else 0
+        k = 1
+        while k <= last:
+            v = int(zzc[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            mag = v if v >= 0 else v + (1 << s) - 1
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(mag, s)
+            run = 0
+            k += 1
+        if last < 63:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+    return pred
+
+
+def _pad8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, quant: "np.ndarray | int" = 1,
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a baseline
+    sequential JPEG (grayscale single-component or 4:4:4 YCbCr, Annex K
+    typical Huffman tables). ``quant`` is a scalar or 64-entry/(8, 8)
+    quantization table used for every component; the default all-ones
+    table makes ``decode_jpeg(encode_jpeg(x))`` exact for per-block-
+    constant images and within ±1/pixel generally. ``restart_interval``
+    > 0 emits DRI + RSTn markers every that many MCUs."""
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)]
+    else:
+        raise ValueError(f"encode_jpeg wants (h,w) gray or (h,w,3) RGB, "
+                         f"got {img.shape}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"encode_jpeg dimensions out of range: {img.shape}")
+    q = np.asarray(quant, np.int64)
+    if q.ndim == 0:
+        q = np.full(64, int(q), np.int64)
+    q = q.reshape(64)
+    if (q < 1).any() or (q > 0xFFFF).any():
+        raise ValueError("quantization entries must be in [1, 65535]")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    pq = 1 if (q > 255).any() else 0
+    zzq = q[_JPEG_ZIGZAG]  # DQT stores zigzag order
+    body = bytes([(pq << 4) | 0]) + (
+        zzq.astype(">u2").tobytes() if pq else zzq.astype(np.uint8).tobytes())
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])  # h=v=1 (4:4:4), quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    tabs = [(0x00, *_DC_LUM), (0x10, *_AC_LUM)]
+    if nc == 3:
+        tabs += [(0x01, *_DC_CHR), (0x11, *_AC_CHR)]
+    for tid, bits, vals in tabs:
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    dc_l, ac_l = _huff_encode_table(*_DC_LUM), _huff_encode_table(*_AC_LUM)
+    dc_c, ac_c = _huff_encode_table(*_DC_CHR), _huff_encode_table(*_AC_CHR)
+    if nc == 1 and not restart_interval:
+        _encode_blocks(_pad8(planes[0]), q, bw, dc_l, ac_l, 0)
+    else:
+        # MCU-by-MCU (interleaved 4:4:4 = one block of each component per
+        # MCU) so predictors, block order and restart boundaries match the
+        # decoder's scan
+        padded = [_pad8(p) for p in planes]
+        hb, wb = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+        preds = [0] * nc
+        codes = ([(dc_l, ac_l)] + [(dc_c, ac_c)] * 2)[:nc]
+        rst = 0
+        mi = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    bw.marker(0xD0 + rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * nc
+                mi += 1
+                for c in range(nc):
+                    blk = padded[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    preds[c] = _encode_blocks(blk, q, bw, *codes[c], preds[c])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -5,13 +5,13 @@ Two decoder tiers:
 
 - ``decoder="real"`` (:class:`RealDecoder`) — genuine spec-conformant
   decoders for the public formats implementable with pure numpy + stdlib
-  (:mod:`.codecs`): BMP, PGM and PNG images (PNG is a real compressed
-  codec — DEFLATE via stdlib ``zlib``, all five scanline filters),
-  PCM16 WAV audio, YUV4MPEG2 (Y4M) video. Byte-exact round-trip-tested.
-  Remaining compressed formats (JPEG/MP3/MP4/...) raise
-  ``NotImplementedError`` naming the payload's sniffed format and the
-  intended library call — those codecs genuinely need external libraries
-  this container doesn't have.
+  (:mod:`.codecs`): BMP, PGM, PNG, GIF and baseline JPEG images (PNG/GIF/
+  JPEG are real compressed codecs — DEFLATE via stdlib ``zlib``, pure
+  LZW, canonical-Huffman + IDCT), PCM16 WAV audio, YUV4MPEG2 (Y4M) video.
+  Round-trip-tested (byte-exact for the lossless codecs). Remaining
+  compressed formats (MP3/MP4/...) raise ``NotImplementedError`` naming
+  the payload's sniffed format and the intended library call — those
+  codecs genuinely need external libraries this container doesn't have.
 - ``decoder="fake"`` (:class:`FakeDecoder`) — deterministic ndarray from a
   blake2b stream of the payload, for plumbing tests that want payload-shape
   independence.
@@ -52,27 +52,29 @@ def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image",
     """Deterministic asset table for tests/benchmarks.
 
     ``fmt="fake"`` keeps the legacy raw-bytes payloads (for
-    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "png", "gif", "wav",
-    "y4m"}`` encodes REAL format bytes (``media_type`` is then implied by
-    the format); ``fmt="mixed"`` cycles bmp/wav/y4m/png/gif per row."""
+    :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "png", "gif", "jpeg",
+    "wav", "y4m"}`` encodes REAL format bytes (``media_type`` is then
+    implied by the format); ``fmt="mixed"`` cycles
+    bmp/wav/y4m/png/gif/jpeg per row."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         row_fmt = fmt if fmt != "mixed" else (
-            "bmp", "wav", "y4m", "png", "gif")[i % 5]
+            "bmp", "wav", "y4m", "png", "gif", "jpeg")[i % 6]
         width, height = int(rng.integers(8, 64)), int(rng.integers(8, 64))
         if row_fmt == "fake":
             frames = 1 if media_type == "image" else int(rng.integers(2, 10))
             payload = rng.integers(0, 256, size=width * height,
                                    dtype=np.uint8).tobytes()
             rows.append((media_type, "fake", width, height, frames, payload))
-        elif row_fmt in ("bmp", "pgm", "png", "gif"):
+        elif row_fmt in ("bmp", "pgm", "png", "gif", "jpeg"):
             # smooth gradient + noise so the adaptive PNG filter chooser
             # actually picks different filters across rows
             img = (rng.integers(0, 128, size=(height, width), dtype=np.uint8)
                    + (np.arange(height, dtype=np.uint8)[:, None] % 128))
             enc = {"bmp": codecs.encode_bmp, "pgm": codecs.encode_pgm,
-                   "png": codecs.encode_png, "gif": codecs.encode_gif}[row_fmt]
+                   "png": codecs.encode_png, "gif": codecs.encode_gif,
+                   "jpeg": codecs.encode_jpeg}[row_fmt]
             rows.append(("image", row_fmt, width, height, 1, enc(img)))
         elif row_fmt == "wav":
             n_samp = int(rng.integers(500, 2000))
@@ -141,14 +143,16 @@ class RealDecoder:
             return codecs.decode_png(payload)
         if kind == "gif":
             return codecs.decode_gif(payload)
+        if kind == "jpeg":
+            return codecs.decode_jpeg(payload)
         if kind == "wav":
             return codecs.decode_wav(payload)[1]
         if kind == "y4m":
             return codecs.decode_y4m(payload)
         raise NotImplementedError(
             f"payload sniffs as {kind!r}: this codec needs an external "
-            "library (PIL.Image.open / soundfile.read / av.open) not present "
-            "in this container; re-encode as png/gif/bmp/pgm/wav/y4m or use "
+            "library (soundfile.read / av.open) not present in this "
+            "container; re-encode as png/gif/jpeg/bmp/pgm/wav/y4m or use "
             "decoder='fake' for plumbing tests"
         )
 
