@@ -391,3 +391,63 @@ def test_tumbling_two_level_fold_paths_identical(ray_session):
         pd.testing.assert_frame_equal(run(**kw), single)
     with pytest.raises(ValueError):
         SO.tumbling_agg(ds, user_subbuckets=0)
+
+
+def test_sessionize_partial_runs_path_identical(ray_session):
+    """The partial_runs scale path (per-block run folds + interval-union
+    stitch) must be bitwise-identical to the single-shuffle path across
+    block layouts — clustered timestamps so multi-event runs exist and
+    runs from different blocks interleave (the forced-path pattern)."""
+    rng = np.random.default_rng(11)
+    n = 3_000
+    base = rng.integers(0, 5 * 86400 * US, n)
+    ts = np.concatenate([base, base[: n // 2]
+                         + rng.integers(0, SO.SESSION_GAP_US * 3, n // 2)])
+    m = len(ts)
+    t = pa.table({
+        "event_id": pa.array(np.arange(m), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 40, m), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 50, m), 2)),
+    })
+    key = ["user_id", "session_id"]
+    for blocks in (1, 3, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        single = SO.sessionize(ds).to_pandas().sort_values(
+            key, ignore_index=True)
+        part = SO.sessionize(ds, partial_runs=True).to_pandas().sort_values(
+            key, ignore_index=True)
+        pd.testing.assert_frame_equal(part, single)
+
+
+def test_sessionize_partial_runs_nested_blocks(ray_session):
+    """Cross-block run NESTING: block B's lone event falls inside block A's
+    run interval, and a third run attaches through the merged end — the
+    interval-union sweep must chain all of them (previous-row end alone
+    would split). Plus the exact-gap boundary across blocks."""
+    gap = SO.SESSION_GAP_US
+
+    def blk(rows):
+        eid, ts = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(list(ts), pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([7] * len(rows), pa.int64()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }))
+
+    # block A: one run [0, 2·gap] (internal deltas == gap: no break);
+    # block B: an event at gap/2 (inside A's interval) and one at
+    # 3·gap + 1 — exactly gap past A's run end, so SAME session through
+    # the union, plus a genuinely separate session at 10·gap.
+    a = blk([(1, 0), (2, gap), (3, 2 * gap)])
+    b = blk([(4, gap // 2), (5, 3 * gap), (6, 10 * gap)])
+    ds = a.union(b)
+    for kw in ({}, {"partial_runs": True}):
+        out = SO.sessionize(ds, **kw).to_pandas().sort_values(
+            ["user_id", "session_id"], ignore_index=True)
+        assert len(out) == 2
+        assert out.loc[0, "n_events"] == 5
+        assert int(out.loc[0, "session_end"].value) == 3 * gap * 1_000  # ns
+        assert out.loc[1, "n_events"] == 1
+        assert out.loc[0, "sum_value"] == 5.0

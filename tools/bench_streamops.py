@@ -24,7 +24,12 @@ import pyarrow.parquet as pq
 
 DIR = os.environ.get("EV_DIR", "/tmp/rtad_events_10m")
 PARTS, ROWS = int(os.environ.get("EV_PARTS", "16")), 625_000
-N_USERS = 100_000
+N_USERS = int(os.environ.get("EV_USERS", "100000"))
+# EV_SORTED=1: each part covers a contiguous slice of the 30-day span with
+# timestamps sorted inside the part — the hourly/daily-dump layout real
+# event logs land in, and the layout sessionize(partial_runs=True) exploits
+SORTED = os.environ.get("EV_SORTED", "0") == "1"
+SPAN_US = 30 * 86400 * 1_000_000
 
 
 def gen():
@@ -37,11 +42,15 @@ def gen():
     for p in range(PARTS):
         rng = np.random.default_rng(1234 + p)
         n = ROWS
+        if SORTED:
+            lo = SPAN_US * p // PARTS
+            hi = SPAN_US * (p + 1) // PARTS
+            ts = np.sort(rng.integers(lo, hi, n))
+        else:
+            ts = rng.integers(0, SPAN_US, n)
         t = pa.table({
             "event_id": pa.array(np.arange(p * n, (p + 1) * n), pa.int64()),
-            "ts": pa.array(base + rng.integers(0, 30 * 86400 * 1_000_000,
-                                               n), pa.int64()
-                           ).cast(pa.timestamp("us")),
+            "ts": pa.array(base + ts, pa.int64()).cast(pa.timestamp("us")),
             "user_id": pa.array(rng.integers(0, N_USERS, n), pa.int64()),
             "event_type": pa.array(types[rng.integers(0, 5, n)], pa.string()),
             "value": pa.array(np.floor(rng.uniform(0, 100, n) * 100 + 0.5)
@@ -74,6 +83,9 @@ def run(num_cpus: int, only: str | None):
     ops = {
         "sessionize": lambda: consume(SO.sessionize(
             read(["user_id", "ts", "event_id", "value"]))),
+        "sessionize_partial": lambda: consume(SO.sessionize(
+            read(["user_id", "ts", "event_id", "value"]),
+            partial_runs=True)),
         "range_join": lambda: consume(SO.range_join_count(
             SO._pick_type(read(["event_id", "user_id", "ts", "event_type"]),
                           "purchase"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -70,10 +71,22 @@ def _pick_type(events: "ray.data.Dataset", kind: str) -> "ray.data.Dataset":
 # gap sessionization
 # --------------------------------------------------------------------------
 
+def _empty_sessions() -> pa.Table:
+    return pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "session_start": pa.array([], pa.timestamp("us")),
+        "session_end": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+        "sum_value": pa.array([], pa.float64()),
+    })
+
+
 def sessionize(
     events: "ray.data.Dataset",
     gap_us: int = SESSION_GAP_US,
     num_buckets: int = 64,
+    partial_runs: bool = False,
 ) -> "ray.data.Dataset":
     """Split each user's event stream into sessions at inactivity gaps
     > ``gap_us``; emit one row per session with start/end/count/value sum.
@@ -83,7 +96,26 @@ def sessionize(
     all-Arrow/numpy in-bucket pass: one lexsort by (user, ts, event_id),
     run-boundary detection with shifted compares, and ``np.add.reduceat``
     over the session runs. No per-user Python loop, no pandas round-trip
-    of the shuffled rows."""
+    of the shuffled rows.
+
+    ``partial_runs=True`` selects the scale path for time-clustered inputs
+    (real event logs land as hourly/daily files): each block first folds
+    its own rows into maximal per-user runs (consecutive events ≤
+    ``gap_us`` apart) and only the run summaries ``(user, start, end, n,
+    cents)`` shuffle — on time-partitioned layouts that is orders of
+    magnitude fewer rows than the events themselves. The stitch is exact,
+    not approximate: a session of the union is a connected component of
+    events under "gap ≤ threshold" adjacency, and any event inside a run's
+    time interval lies within ``gap_us`` of some event of that run (two
+    consecutive run events straddle it at ≤ ``gap_us``), so merging runs
+    sorted by start whenever ``start ≤ running-max-end + gap_us`` — the
+    classic interval-union sweep, with a per-user grouped cummax — yields
+    exactly the single-pass sessions; counts and cents sums are
+    permutation-invariant integer folds. Both paths are pinned
+    bitwise-identical by test. On uniformly shuffled inputs runs ≈ events
+    and the extra pass buys nothing — keep the default there."""
+    if partial_runs:
+        return _sessionize_partial(events, gap_us, num_buckets)
 
     def merge(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
@@ -94,14 +126,7 @@ def sessionize(
         uid, ts, cents = uid[order], ts[order], cents[order]
         n = len(uid)
         if n == 0:
-            return pa.table({
-                "user_id": pa.array([], pa.int64()),
-                "session_id": pa.array([], pa.int64()),
-                "session_start": pa.array([], pa.timestamp("us")),
-                "session_end": pa.array([], pa.timestamp("us")),
-                "n_events": pa.array([], pa.int64()),
-                "sum_value": pa.array([], pa.float64()),
-            })
+            return _empty_sessions()
         new_user = np.empty(n, bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -130,6 +155,82 @@ def sessionize(
         })
 
     return bucketed_merge_arrow(events, ["user_id"], merge, num_buckets)
+
+
+def _sessionize_partial(
+    events: "ray.data.Dataset",
+    gap_us: int,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """The ``partial_runs=True`` body of :func:`sessionize` — see there for
+    the exactness argument. Stage 1 (map-only) folds each block into
+    maximal per-user runs; stage 2 hash-buckets the run summaries by user
+    and stitches with the interval-union sweep."""
+
+    def to_runs(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _cents(t["value"].to_numpy())
+        order = np.lexsort((ts, uid))
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        n = len(uid)
+        if n == 0:
+            starts = np.zeros(0, np.int64)
+            counts = starts
+        else:
+            new_s = np.empty(n, bool)
+            new_s[0] = True
+            new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+            starts = np.flatnonzero(new_s)
+            counts = np.diff(np.append(starts, n))
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "__rs": pa.array(ts[starts], pa.int64()),
+            "__re": pa.array(ts[starts + counts - 1], pa.int64()),
+            "__rn": pa.array(counts, pa.int64()),
+            "__rc": pa.array(np.add.reduceat(cents, starts)
+                             if n else np.zeros(0, np.int64), pa.int64()),
+        })
+
+    def merge_runs(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        rs, re_ = g["__rs"].to_numpy(), g["__re"].to_numpy()
+        rn, rc = g["__rn"].to_numpy(), g["__rc"].to_numpy()
+        order = np.lexsort((re_, rs, uid))
+        uid, rs, re_, rn, rc = (a[order] for a in (uid, rs, re_, rn, rc))
+        m = len(uid)
+        if m == 0:
+            return _empty_sessions()
+        new_user = np.empty(m, bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # per-user running max of run ends (runs from different blocks can
+        # nest/overlap, so the previous row's end alone is not enough);
+        # grouped cummax is one vectorized C pass over the SHRUNK run table
+        cm = pd.Series(re_).groupby(uid).cummax().to_numpy()
+        brk = new_user.copy()
+        brk[1:] |= rs[1:] > cm[:-1] + gap_us
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, m))
+        o = len(starts)
+        user_starts = np.flatnonzero(new_user[starts])
+        user_counts = np.diff(np.append(user_starts, o))
+        sid = np.arange(o) - np.repeat(user_starts, user_counts) + 1
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(sid, pa.int64()),
+            "session_start": pa.array(rs[starts], pa.int64())
+                               .cast(pa.timestamp("us")),
+            "session_end": pa.array(np.maximum.reduceat(re_, starts),
+                                    pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(np.add.reduceat(rn, starts), pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(rc, starts) / 100.0,
+                                  pa.float64()),
+        })
+
+    runs = events.map_batches(to_runs, batch_format="pyarrow",
+                              batch_size=None)
+    return bucketed_merge_arrow(runs, ["user_id"], merge_runs, num_buckets)
 
 
 def _tag_side(side: int):
