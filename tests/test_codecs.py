@@ -458,4 +458,142 @@ def test_jpeg_real_decoder_and_media_table(ray_session):
     out = decode_features(ray.data.from_arrow(t), decoder="real").to_pandas()
     assert len(out) == 18
     jp = out[out["format"] == "jpeg"]
-    assert len(jp) == 3 and (jp["pix_std"] > 0).all()
+    assert len(jp) == len([i for i in range(18) if i % 7 == 5])
+    assert (jp["pix_std"] > 0).all()
+
+
+# --------------------------------------------------------------------- MP4
+
+def test_mp4_block_constant_roundtrip_exact(rng):
+    """Per-block-constant frames at quant=1 have integral DC and zero ACs:
+    the whole MJPEG-in-MP4 round trip is byte-exact."""
+    blocks = rng.integers(0, 256, (5, 3, 4), dtype=np.uint8)
+    frames = np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+    p = C.encode_mp4(frames)
+    assert C.sniff_format(p) == "mp4"
+    assert C.mp4_frame_count(p) == 5
+    assert (C.decode_mp4(p) == frames).all()
+
+
+def test_mp4_frame_seek_matches_full_decode(rng):
+    frames = rng.integers(0, 256, (4, 17, 23), dtype=np.uint8)
+    p = C.encode_mp4(frames)
+    full = C.decode_mp4(p)
+    assert np.abs(full.astype(int) - frames.astype(int)).max() <= 1
+    for i in range(4):
+        assert (C.decode_mp4_frame(p, i) == full[i]).all()
+    with pytest.raises(IndexError):
+        C.decode_mp4_frame(p, 4)
+
+
+def _stbl_payloads(n_samples, sizes, stsc_runs, chunk_offs, co64=False,
+                   entry_type=b"jpeg"):
+    """Hand-build ftyp+moov+mdat-less scaffolding around given tables (the
+    general stsc/stco layouts our encoder never writes)."""
+    entry_body = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                  + struct.pack(">HH", 16, 16)
+                  + struct.pack(">II", 0x00480000, 0x00480000)
+                  + b"\x00" * 4 + struct.pack(">H", 1)
+                  + bytes(32) + struct.pack(">Hh", 24, -1))
+    stsd = C._fullbox(b"stsd", 0, 0, struct.pack(">I", 1)
+                      + C._box(entry_type, entry_body))
+    stts = C._fullbox(b"stts", 0, 0, struct.pack(">III", 1, n_samples, 1))
+    stsc = C._fullbox(b"stsc", 0, 0,
+                      struct.pack(">I", len(stsc_runs))
+                      + b"".join(struct.pack(">III", *r) for r in stsc_runs))
+    stsz = C._fullbox(b"stsz", 0, 0,
+                      struct.pack(">II", 0, n_samples)
+                      + struct.pack(">%dI" % n_samples, *sizes))
+    if co64:
+        stco = C._fullbox(b"co64", 0, 0,
+                          struct.pack(">I", len(chunk_offs))
+                          + struct.pack(">%dQ" % len(chunk_offs), *chunk_offs))
+    else:
+        stco = C._fullbox(b"stco", 0, 0,
+                          struct.pack(">I", len(chunk_offs))
+                          + struct.pack(">%dI" % len(chunk_offs), *chunk_offs))
+    stbl = C._box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = C._fullbox(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = C._box(b"minf", vmhd + stbl)
+    hdlr = C._fullbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                      + b"V\x00")
+    mdhd = C._fullbox(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 25,
+                                                 n_samples, 0x55C4, 0))
+    mdia = C._box(b"mdia", mdhd + hdlr + minf)
+    trak = C._box(b"trak", C._fullbox(b"tkhd", 0, 7, bytes(80)) + mdia)
+    moov = C._box(b"moov", trak)
+    ftyp = C._box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    return ftyp, moov
+
+
+def test_mp4_multichunk_stsc_and_co64(rng):
+    """General sample-table resolution: 3 samples split 2+1 across two
+    chunks whose offsets are NOT contiguous, addressed via 64-bit co64 —
+    the layout a real muxer interleaving audio would produce."""
+    frames = np.repeat(np.repeat(
+        rng.integers(0, 256, (3, 2, 2), dtype=np.uint8), 8, 1), 8, 2)
+    samples = [C.encode_jpeg(frames[i]) for i in range(3)]
+    sizes = [len(s) for s in samples]
+    ftyp, moov = _stbl_payloads(3, sizes, [(1, 2, 1), (2, 1, 1)], [0, 0],
+                                co64=True)
+    gap = b"\xde\xad\xbe\xef" * 4            # foreign bytes between chunks
+    base = len(ftyp) + len(moov) + 8
+    chunk_offs = [base, base + sizes[0] + sizes[1] + len(gap)]
+    ftyp, moov = _stbl_payloads(3, sizes, [(1, 2, 1), (2, 1, 1)], chunk_offs,
+                                co64=True)
+    mdat = C._box(b"mdat", samples[0] + samples[1] + gap + samples[2])
+    p = ftyp + moov + mdat
+    assert C.mp4_frame_count(p) == 3
+    assert (C.decode_mp4(p) == frames).all()
+    assert (C.decode_mp4_frame(p, 2) == frames[2]).all()
+
+
+def test_mp4_malformed_and_unsupported(rng):
+    frames = np.repeat(np.repeat(
+        rng.integers(0, 256, (2, 2, 2), dtype=np.uint8), 8, 1), 8, 2)
+    good = C.encode_mp4(frames)
+    with pytest.raises(ValueError):
+        C.decode_mp4(good[:40])              # moov truncated away
+    bad = bytearray(good)
+    bad[0:4] = struct.pack(">I", len(good) + 999)   # ftyp size overruns
+    with pytest.raises(ValueError, match="out of range"):
+        C.decode_mp4(bytes(bad))
+    with pytest.raises(NotImplementedError, match="avc1"):
+        C.decode_mp4(good.replace(b"jpeg", b"avc1", 1))
+    # stsc that maps more samples than stsz declares
+    sizes = [100, 100]
+    ftyp, moov = _stbl_payloads(2, sizes, [(1, 3, 1)], [0])
+    with pytest.raises(ValueError, match="stsc maps"):
+        C.decode_mp4(ftyp + moov + C._box(b"mdat", bytes(300)))
+    # sample extents beyond the file
+    ftyp, moov = _stbl_payloads(2, sizes, [(1, 2, 1)], [10 ** 6])
+    with pytest.raises(ValueError, match="outside the file"):
+        C.decode_mp4(ftyp + moov + C._box(b"mdat", bytes(200)))
+
+
+def test_mp4_real_decoder_and_frame_sample(ray_session):
+    """RealDecoder dispatches mp4; FrameSampleStage(decode=True) samples
+    REAL frames from both containers (Y4M stride seek, MP4 sample-table
+    seek) and cross-checks metadata frame counts."""
+    from use_case_real_time_anomaly_detection_ray.stages.multimodal import (
+        RealDecoder, sample_frames, synth_media_table,
+    )
+    import pyarrow as pa
+    import ray.data
+
+    t = synth_media_table(n=14, seed=5, fmt="mixed")
+    assert "mp4" in set(t["format"].to_pylist())
+    vid = t.filter(pa.compute.equal(t["media_type"], "video"))
+    out = (sample_frames(ray.data.from_arrow(vid), every_k=2, decode=True)
+           .to_pandas())
+    rd = RealDecoder()
+    for aid, g in out.groupby("asset_id"):
+        row = vid.filter(pa.compute.equal(vid["asset_id"], aid))
+        arr = rd.decode(row["payload"][0].as_py())
+        for _, r in g.iterrows():
+            assert r["frame_mean"] == float(arr[int(r["frame_index"])].mean())
+    # metadata mismatch is caught for mp4 payloads too
+    mp4_only = synth_media_table(n=2, seed=6, fmt="mp4")
+    wrong = mp4_only.set_column(5, "n_frames", pa.array([99, 99], pa.int32()))
+    with pytest.raises(Exception, match="stream has"):
+        sample_frames(ray.data.from_arrow(wrong), decode=True).materialize()

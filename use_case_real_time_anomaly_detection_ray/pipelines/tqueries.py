@@ -767,13 +767,15 @@ def q_doc_distinct_hll(sf_dir: str):
 
 def q_media_decode_features(sf_dir: str):
     """Multimodal decode through the driver surface: deterministic synthetic
-    assets in REAL public formats (BMP, PNG and GIF images, PCM16 WAV
-    audio, Y4M video, cycled per row) → fixed-pool :class:`RealDecoder`
-    stage → per-asset value features. The decoders are spec-conformant
-    pure numpy/stdlib (``stages/codecs.py``, byte-exact round-trip-
-    tested); PNG and GIF are real compressed codecs (stdlib-zlib DEFLATE
-    with all five scanline filters; variable-width LSB-first LZW); only
-    codecs with no stdlib decompressor (JPEG/MP4) remain gated behind
+    assets in REAL public formats (BMP, PNG, GIF and JPEG images, PCM16
+    WAV audio, Y4M and Motion-JPEG MP4 video, cycled per row) →
+    fixed-pool :class:`RealDecoder` stage → per-asset value features. The
+    decoders are spec-conformant pure numpy/stdlib (``stages/codecs.py``,
+    byte-exact round-trip-tested); PNG, GIF, JPEG and MP4 are real
+    compressed-codec paths (stdlib-zlib DEFLATE with all five scanline
+    filters; variable-width LSB-first LZW; canonical-Huffman baseline
+    DCT; ISO BMFF sample-table demux); only codecs with no stdlib
+    decompressor (MP3, AVC/HEVC tracks) remain gated behind
     ``NotImplementedError``."""
     from ..stages.multimodal import decode_features, synth_media_table
 
@@ -786,12 +788,20 @@ def q_media_decode_features(sf_dir: str):
 
 
 def q_media_frame_sample(sf_dir: str):
-    """flat_map-shaped video frame sampling (1 asset row → n frame rows) with
-    REAL Y4M frame extraction: every sampled frame's luma plane is seeked to
-    (O(1) per frame) and decoded; ``frame_mean`` is its actual pixel mean."""
+    """flat_map-shaped video frame sampling (1 asset row → n frame rows)
+    with REAL container demux: every sampled frame is seeked to (O(1) per
+    frame — Y4M stride arithmetic / MP4 sample-table offsets) and its luma
+    decoded; ``frame_mean`` is the actual pixel mean. Half the assets are
+    Y4M streams, half Motion-JPEG MP4s."""
+    import pyarrow as _pa
+
     from ..stages.multimodal import sample_frames, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(n=32, seed=7, fmt="y4m"))
+    y4m = synth_media_table(n=16, seed=7, fmt="y4m")
+    mp4 = synth_media_table(n=16, seed=8, fmt="mp4")
+    mp4 = mp4.set_column(0, "asset_id",
+                         _pa.array(range(1000, 1016), _pa.int64()))
+    ds = ray.data.from_arrow(_pa.concat_tables([y4m, mp4]))
     return sample_frames(ds, every_k=2, decode=True)
 
 

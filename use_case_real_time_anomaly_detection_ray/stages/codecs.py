@@ -24,8 +24,14 @@ implementable without any image/audio library:
   byte-stuffing, restart markers, 8/16-bit DQT, grayscale and
   interleaved color (full-resolution luma); returns the Y plane.
   Progressive/arithmetic/12-bit/hierarchical frames raise ValueError.
+- **MP4** (ISO/IEC 14496-12 base media): a real demuxer — box tree walk
+  (incl. 64-bit largesize and co64), first ``vide`` track, general
+  stsc/stco/stsz sample-table resolution with O(1) frame seek — whose
+  Motion-JPEG (``'jpeg'``) samples decode through the JPEG codec above.
+  AVC/HEVC sample entries raise ``NotImplementedError`` naming the
+  external codec they need.
 
-Remaining compressed formats (MP3/MP4/...) genuinely need external
+Remaining compressed formats (MP3/...) genuinely need external
 codec libraries that are not in this container; :func:`sniff_format`
 classifies them so callers can raise an explicit ``NotImplementedError``
 instead of misparsing. Encoders exist for every decoder so tests can pin
@@ -1261,3 +1267,223 @@ def encode_jpeg(img: np.ndarray, quant: "np.ndarray | int" = 1,
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# MP4 — ISO/IEC 14496-12 base media file format; Motion-JPEG ('jpeg')
+# sample entries decode through decode_jpeg, so the whole video path is
+# pure numpy + stdlib. AVC/HEVC sample entries name the codec they need.
+# --------------------------------------------------------------------------
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _fullbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                          0x40000000)
+
+
+def encode_mp4(frames: np.ndarray, fps: int = 25,
+               quant: "np.ndarray | int" = 1) -> bytes:
+    """Encode (n_frames, h, w) uint8 luma as an ISO BMFF (MP4) file with a
+    single Motion-JPEG video track: each sample is a baseline JPEG from
+    :func:`encode_jpeg`. Layout is ftyp + moov + mdat with one chunk, one
+    sample per frame (stts/stsc/stsz/stco fully populated), so any
+    demuxer — including :func:`decode_mp4` — can seek frames in O(1)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError(f"encode_mp4 wants (n, h, w), got {frames.shape}")
+    n, h, w = frames.shape
+    if n == 0:
+        raise ValueError("encode_mp4 needs at least one frame")
+    samples = [encode_jpeg(frames[i], quant=quant) for i in range(n)]
+    sizes = [len(s) for s in samples]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isom" + b"iso2" + b"mp41")
+
+    entry_body = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved, data_ref_idx
+        + b"\x00" * 16                               # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)         # reserved, frame_count
+        + bytes([10]) + b"Motion-JPEG".ljust(31, b"\x00")[:31]
+        + struct.pack(">Hh", 0x0018, -1)             # depth, pre_defined
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1)
+                    + _box(b"jpeg", entry_body))
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                    + struct.pack(">%dI" % n, *sizes))
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">II", 1, 0))  # patched below
+
+    def build_moov(chunk_off: int) -> bytes:
+        stco_p = _fullbox(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco_p)
+        url = _fullbox(b"url ", 0, 1, b"")
+        dref = _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url)
+        dinf = _box(b"dinf", dref)
+        vmhd = _fullbox(b"vmhd", 0, 1, b"\x00" * 8)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        hdlr = _fullbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                        + b"VideoHandler\x00")
+        mdhd = _fullbox(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n,
+                                                   0x55C4, 0))
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _fullbox(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                        + struct.pack(">I", n) + b"\x00" * 8
+                        + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+                        + struct.pack(">II", w << 16, h << 16))
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _fullbox(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, fps, n)
+                        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                        + b"\x00" * 8 + _MP4_MATRIX + b"\x00" * 24
+                        + struct.pack(">I", 2))
+        return _box(b"moov", mvhd + trak)
+
+    moov_len = len(build_moov(0))            # stco field is fixed-width
+    chunk_off = len(ftyp) + moov_len + 8     # + mdat header
+    moov = build_moov(chunk_off)
+    assert len(moov) == moov_len
+    mdat = _box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over the boxes in [start, end);
+    handles 64-bit largesize and size==0 (to-end) per ISO 14496-12 §4.2."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", buf, off)[0]
+        btype = bytes(buf[off + 4:off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError("mp4: box size out of range")
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _mp4_child(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    raise ValueError(f"mp4: missing {btype.decode()} box")
+
+
+def _mp4_sample_table(payload: bytes):
+    """Demux the first video track -> (codec, width, height, offsets, sizes).
+
+    Walks moov→trak→mdia (hdlr 'vide')→minf→stbl and resolves every
+    sample's absolute file offset from stsc (chunk runs) + stco/co64
+    (chunk offsets) + stsz (sizes) — the general mapping, fully
+    vectorized, not just the one-chunk layout our encoder writes."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: not an ISO BMFF payload")
+    moov = _mp4_child(payload, 0, len(payload), b"moov")
+    stbl = None
+    codec = wh = None
+    for t, s, e in _mp4_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_child(payload, s, e, b"mdia")
+        hs, he = _mp4_child(payload, *mdia, b"hdlr")
+        if payload[hs + 8:hs + 12] != b"vide":
+            continue
+        minf = _mp4_child(payload, *mdia, b"minf")
+        stbl = _mp4_child(payload, *minf, b"stbl")
+        break
+    if stbl is None:
+        raise ValueError("mp4: no video track")
+    ss, se = _mp4_child(payload, *stbl, b"stsd")
+    if se - ss < 16:
+        raise ValueError("mp4: truncated stsd")
+    entry_s = ss + 8                       # fullbox header + entry_count
+    codec = bytes(payload[entry_s + 4:entry_s + 8])
+    wh = struct.unpack_from(">HH", payload, entry_s + 8 + 24)
+    if codec != b"jpeg":
+        raise NotImplementedError(
+            f"mp4: sample entry {codec.decode(errors='replace')!r} needs an "
+            "external codec (e.g. avc1/hvc1 -> libavcodec); this demuxer "
+            "decodes Motion-JPEG ('jpeg') tracks"
+        )
+    zs, ze = _mp4_child(payload, *stbl, b"stsz")
+    fixed, n = struct.unpack_from(">II", payload, zs + 4)
+    if fixed:
+        sizes = np.full(n, fixed, np.int64)
+    else:
+        if ze - zs - 12 < 4 * n:
+            raise ValueError("mp4: stsz shorter than sample_count")
+        sizes = np.frombuffer(payload, ">u4", count=n,
+                              offset=zs + 12).astype(np.int64)
+    try:
+        cs, ce = _mp4_child(payload, *stbl, b"stco")
+        n_chunks = struct.unpack_from(">I", payload, cs + 4)[0]
+        if ce - cs - 8 < 4 * n_chunks:
+            raise ValueError("mp4: stco shorter than entry_count")
+        chunk_offs = np.frombuffer(payload, ">u4", count=n_chunks,
+                                   offset=cs + 8).astype(np.int64)
+    except ValueError:
+        cs, ce = _mp4_child(payload, *stbl, b"co64")
+        n_chunks = struct.unpack_from(">I", payload, cs + 4)[0]
+        if ce - cs - 8 < 8 * n_chunks:
+            raise ValueError("mp4: co64 shorter than entry_count")
+        chunk_offs = np.frombuffer(payload, ">u8", count=n_chunks,
+                                   offset=cs + 8).astype(np.int64)
+    ts, te = _mp4_child(payload, *stbl, b"stsc")
+    n_runs = struct.unpack_from(">I", payload, ts + 4)[0]
+    if te - ts - 8 < 12 * n_runs:
+        raise ValueError("mp4: stsc shorter than entry_count")
+    runs = np.frombuffer(payload, ">u4", count=3 * n_runs,
+                         offset=ts + 8).astype(np.int64).reshape(n_runs, 3)
+    # expand stsc runs -> samples-per-chunk for every chunk
+    firsts = runs[:, 0]
+    if n_runs == 0 or firsts[0] != 1 or np.any(np.diff(firsts) <= 0):
+        raise ValueError("mp4: malformed stsc chunk runs")
+    run_len = np.diff(np.append(firsts, n_chunks + 1))
+    spc = np.repeat(runs[:, 1], run_len)            # per chunk
+    if spc.sum() != n:
+        raise ValueError(
+            f"mp4: stsc maps {int(spc.sum())} samples over {n_chunks} "
+            f"chunks but stsz declares {n}")
+    sample_chunk = np.repeat(np.arange(n_chunks), spc)
+    csum = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    chunk_first = np.concatenate(([0], np.cumsum(spc[:-1])))
+    offsets = chunk_offs[sample_chunk] + csum - csum[chunk_first][sample_chunk]
+    if np.any(offsets < 0) or np.any(offsets + sizes > len(payload)):
+        raise ValueError("mp4: sample extents fall outside the file")
+    return codec, int(wh[0]), int(wh[1]), offsets, sizes
+
+
+def mp4_frame_count(payload: bytes) -> int:
+    return len(_mp4_sample_table(payload)[3])
+
+
+def decode_mp4_frame(payload: bytes, index: int) -> np.ndarray:
+    """O(1)-seek decode of one frame's luma via the sample table."""
+    _, _, _, offs, sizes = _mp4_sample_table(payload)
+    if not 0 <= index < len(offs):
+        raise IndexError(f"frame {index} out of range ({len(offs)} frames)")
+    o, s = int(offs[index]), int(sizes[index])
+    return decode_jpeg(bytes(payload[o:o + s]))
+
+
+def decode_mp4(payload: bytes) -> np.ndarray:
+    """Decode every Motion-JPEG sample -> (n_frames, h, w) uint8 luma."""
+    _, _, _, offs, sizes = _mp4_sample_table(payload)
+    return np.stack([decode_jpeg(bytes(payload[int(o):int(o) + int(s)]))
+                     for o, s in zip(offs, sizes)])

@@ -7,11 +7,14 @@ Two decoder tiers:
   decoders for the public formats implementable with pure numpy + stdlib
   (:mod:`.codecs`): BMP, PGM, PNG, GIF and baseline JPEG images (PNG/GIF/
   JPEG are real compressed codecs — DEFLATE via stdlib ``zlib``, pure
-  LZW, canonical-Huffman + IDCT), PCM16 WAV audio, YUV4MPEG2 (Y4M) video.
-  Round-trip-tested (byte-exact for the lossless codecs). Remaining
-  compressed formats (MP3/MP4/...) raise ``NotImplementedError`` naming
-  the payload's sniffed format and the intended library call — those
-  codecs genuinely need external libraries this container doesn't have.
+  LZW, canonical-Huffman + IDCT), PCM16 WAV audio, YUV4MPEG2 (Y4M) video,
+  and MP4 (ISO BMFF) video with Motion-JPEG tracks — a real demuxer
+  (stsc/stco/stsz sample-table resolution, O(1) frame seek) whose samples
+  decode through the JPEG codec. Round-trip-tested (byte-exact for the
+  lossless codecs). AVC/HEVC tracks and remaining compressed formats
+  (MP3/...) raise ``NotImplementedError`` naming the payload's sniffed
+  format and the intended library call — those codecs genuinely need
+  external libraries this container doesn't have.
 - ``decoder="fake"`` (:class:`FakeDecoder`) — deterministic ndarray from a
   blake2b stream of the payload, for plumbing tests that want payload-shape
   independence.
@@ -53,14 +56,14 @@ def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image",
 
     ``fmt="fake"`` keeps the legacy raw-bytes payloads (for
     :class:`FakeDecoder`); ``fmt in {"bmp", "pgm", "png", "gif", "jpeg",
-    "wav", "y4m"}`` encodes REAL format bytes (``media_type`` is then
-    implied by the format); ``fmt="mixed"`` cycles
-    bmp/wav/y4m/png/gif/jpeg per row."""
+    "wav", "y4m", "mp4"}`` encodes REAL format bytes (``media_type`` is
+    then implied by the format); ``fmt="mixed"`` cycles
+    bmp/wav/y4m/png/gif/jpeg/mp4 per row."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         row_fmt = fmt if fmt != "mixed" else (
-            "bmp", "wav", "y4m", "png", "gif", "jpeg")[i % 6]
+            "bmp", "wav", "y4m", "png", "gif", "jpeg", "mp4")[i % 7]
         width, height = int(rng.integers(8, 64)), int(rng.integers(8, 64))
         if row_fmt == "fake":
             frames = 1 if media_type == "image" else int(rng.integers(2, 10))
@@ -89,6 +92,12 @@ def synth_media_table(n: int = 32, seed: int = 42, media_type: str = "image",
                                dtype=np.uint8)
             rows.append(("video", "y4m", width, height, frames,
                          codecs.encode_y4m(vid)))
+        elif row_fmt == "mp4":
+            frames = int(rng.integers(2, 10))
+            vid = rng.integers(0, 256, size=(frames, height, width),
+                               dtype=np.uint8)
+            rows.append(("video", "mp4", width, height, frames,
+                         codecs.encode_mp4(vid)))
         else:
             raise ValueError(f"unknown fmt {row_fmt!r}")
     mt, ft, w, h, f, payloads = zip(*rows)
@@ -149,6 +158,8 @@ class RealDecoder:
             return codecs.decode_wav(payload)[1]
         if kind == "y4m":
             return codecs.decode_y4m(payload)
+        if kind == "mp4":
+            return codecs.decode_mp4(payload)
         raise NotImplementedError(
             f"payload sniffs as {kind!r}: this codec needs an external "
             "library (soundfile.read / av.open) not present in this "
@@ -241,14 +252,32 @@ class FrameSampleStage:
     (flat_map-shaped: one input row → n output rows).
 
     ``decode=False`` emits (asset_id, frame_index) from metadata only.
-    ``decode=True`` requires Y4M payloads: each sampled frame's luma plane
-    is actually extracted (O(1) seek per frame — no full-stream decode) and
-    its mean is emitted as ``frame_mean``; the metadata ``n_frames`` is
-    cross-checked against the stream's real frame count."""
+    ``decode=True`` accepts Y4M or MP4 (Motion-JPEG) payloads: each sampled
+    frame's luma plane is actually extracted (O(1) seek per frame — the
+    Y4M stride / MP4 sample table is resolved once per asset, never a
+    full-stream decode) and its mean is emitted as ``frame_mean``; the
+    metadata ``n_frames`` is cross-checked against the container's real
+    frame count."""
 
     def __init__(self, every_k: int = 2, decode: bool = False):
         self.every_k = every_k
         self.decode = decode
+
+    @staticmethod
+    def _frame_reader(payload: bytes):
+        """(n_frames, frame_index -> luma array) for a video container."""
+        kind = codecs.sniff_format(payload)
+        if kind == "y4m":
+            return (codecs.y4m_frame_count(payload),
+                    lambda i: codecs.decode_y4m_frame(payload, i))
+        if kind == "mp4":
+            _, _, _, offs, sizes = codecs._mp4_sample_table(payload)
+            return (len(offs),
+                    lambda i: codecs.decode_jpeg(
+                        bytes(payload[int(offs[i]):int(offs[i] + sizes[i])])))
+        raise ValueError(
+            f"FrameSampleStage(decode=True) wants a video container "
+            f"(y4m/mp4), payload sniffs as {kind!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, means = [], [], []
@@ -256,19 +285,17 @@ class FrameSampleStage:
         for i, (aid, nf) in enumerate(zip(batch["asset_id"].to_pylist(),
                                           batch["n_frames"].to_pylist())):
             if self.decode:
-                payload = payloads[i]
-                real_n = codecs.y4m_frame_count(payload)
+                real_n, read_frame = self._frame_reader(payloads[i])
                 if real_n != nf:
                     raise ValueError(
-                        f"asset {aid}: metadata n_frames={nf} but Y4M stream "
-                        f"has {real_n} frames"
+                        f"asset {aid}: metadata n_frames={nf} but the "
+                        f"stream has {real_n} frames"
                     )
             for fi in range(0, nf, self.every_k):
                 ids.append(aid)
                 frames.append(fi)
                 if self.decode:
-                    means.append(
-                        float(codecs.decode_y4m_frame(payload, fi).mean()))
+                    means.append(float(read_frame(fi).mean()))
         cols = {"asset_id": pa.array(ids, pa.int64()),
                 "frame_index": pa.array(frames, pa.int32())}
         if self.decode:
