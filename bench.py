@@ -276,6 +276,13 @@ def run_bench_compute() -> dict:
     }
 
 
+def steal_jiffies() -> int:
+    """Cumulative hypervisor CPU-steal (jiffies) from /proc/stat field 9 —
+    the ONE shared parser every bench's steal screen uses (bench.py,
+    tools/bench_streamops.py, tools/bench_dedup_shard.py)."""
+    return int(open("/proc/stat").readline().split()[8])
+
+
 def _cpu_ceiling(n_lo: int, n_hi: int) -> float:
     """Hardware parallel-scaling ceiling: aggregate sha256 throughput of
     n_lo vs n_hi plain processes. This box exposes 32 hyperthreads over ~16
@@ -314,10 +321,8 @@ def run_scaling() -> None:
     compute = "--compute" in sys.argv
     extra = ["--bench-compute"] if compute else []
 
-    def steal_jiffies() -> int:
-        return int(open("/proc/stat").readline().split()[8])
-
     best: dict[int, dict] = {}
+    screen: dict[int, dict] = {}
     for ncpu in (n_lo, n_hi):
         clean_runs = 0
         attempts = 0
@@ -340,8 +345,11 @@ def run_scaling() -> None:
             contaminated = stolen > 0.05 * ncpu * r["value"]
             if not contaminated:
                 clean_runs += 1
+            # min-of-attempts is safe: steal only SLOWS a run, so a
+            # contaminated attempt can never beat a clean one
             if ncpu not in best or r["value"] < best[ncpu]["value"]:
                 best[ncpu] = r
+        screen[ncpu] = {"clean": clean_runs, "attempts": attempts}
     t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
     eff = (t_lo / t_hi) / (n_hi / n_lo)
     ceiling = _cpu_ceiling(n_lo, n_hi)
@@ -350,6 +358,10 @@ def run_scaling() -> None:
         "pipeline": "minhash_dedup" if compute else "validation_suite",
         "n_lo": n_lo,
         "n_hi": n_hi,
+        # a level with clean == 0 exhausted its attempt cap on stolen runs:
+        # the number below is NOT screened — do not record it as criterion
+        # evidence (BENCH/BASELINE.md protocol)
+        "steal_screen": {str(k): v for k, v in screen.items()},
         f"sec_{n_lo}": t_lo,
         f"sec_{n_hi}": t_hi,
         f"{rate_key}_{n_lo}": best[n_lo][rate_key],

@@ -597,3 +597,31 @@ def test_mp4_real_decoder_and_frame_sample(ray_session):
     wrong = mp4_only.set_column(5, "n_frames", pa.array([99, 99], pa.int32()))
     with pytest.raises(Exception, match="stream has"):
         sample_frames(ray.data.from_arrow(wrong), decode=True).materialize()
+
+
+def test_jpeg_truncated_dht_is_valueerror(rng):
+    """A DHT segment cut mid-BITS must follow the uniform malformed-payload
+    contract (ValueError), not leak an IndexError from table construction."""
+    img = np.repeat(np.repeat(
+        rng.integers(0, 256, (2, 2), dtype=np.uint8), 8, 0), 8, 1)
+    good = C.encode_jpeg(img)
+    i = good.index(b"\xff\xc4")
+    # rewrite the DHT length so the segment ends 10 bytes into BITS
+    trunc = good[:i + 2] + struct.pack(">H", 2 + 1 + 10) \
+        + good[i + 4:i + 4 + 11] + good[i + 4 + 11:]
+    with pytest.raises(ValueError):
+        C.decode_jpeg(trunc)
+
+
+def test_mp4_truncated_stco_names_stco(rng):
+    """A present-but-truncated stco must surface as its own error, not be
+    masked by the co64 fallback as 'missing co64'."""
+    frames = np.repeat(np.repeat(
+        rng.integers(0, 256, (2, 2, 2), dtype=np.uint8), 8, 1), 8, 2)
+    good = C.encode_mp4(frames)
+    i = good.index(b"stco")
+    bad = bytearray(good)
+    # claim 1000 chunk offsets in a box that holds one
+    bad[i + 8:i + 12] = struct.pack(">I", 1000)
+    with pytest.raises(ValueError, match="stco shorter"):
+        C.decode_mp4(bytes(bad))

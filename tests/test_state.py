@@ -116,3 +116,15 @@ def test_dedup_index_retry_idempotent(ray_session):
     # new key in the retry-safe tick still admits
     assert idx.filter_new(np.array([40], np.uint64), tick="t1").tolist() == [True]
     assert idx.size() == 4
+
+
+def test_dedup_index_tick_is_required(ray_session):
+    """A constant default tick would silently disable cross-batch dedup
+    (owned-by-this-tick re-admission); the label must be explicit."""
+    from use_case_real_time_anomaly_detection_ray.state.dedup_index import (
+        DedupIndex,
+    )
+
+    idx = DedupIndex(n_shards=1)
+    with pytest.raises(TypeError):
+        idx.filter_new(np.array([1], np.uint64))

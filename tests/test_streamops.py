@@ -451,3 +451,14 @@ def test_sessionize_partial_runs_nested_blocks(ray_session):
         assert int(out.loc[0, "session_end"].value) == 3 * gap * 1_000  # ns
         assert out.loc[1, "n_events"] == 1
         assert out.loc[0, "sum_value"] == 5.0
+
+
+def test_hash_sample_empty_thresholds_uses_default(ray_session):
+    """thresholds={} must fall back to default_threshold for every row, not
+    crash on a null-typed index_in value_set."""
+    t = pa.table({"doc_id": pa.array(range(64), pa.int64()),
+                  "lang": pa.array(["en", "fr"] * 32)})
+    ds = ray.data.from_arrow(t)
+    assert SO.hash_sample(ds, thresholds={},
+                          default_threshold=2 ** 32).count() == 64
+    assert SO.hash_sample(ds, thresholds={}, default_threshold=0).count() == 0

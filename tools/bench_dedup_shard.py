@@ -40,8 +40,8 @@ class _OldShard:
 
 
 def _steal() -> int:
-    with open("/proc/stat") as f:
-        return int(f.readline().split()[8])
+    from bench import steal_jiffies  # the one shared /proc/stat parser
+    return steal_jiffies()
 
 
 def main() -> None:

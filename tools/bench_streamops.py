@@ -119,34 +119,40 @@ def scaling(op: str):
     --scaling (a stolen run measures the neighbor's load, not the engine)."""
     import subprocess
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import steal_jiffies
+
     n_lo = int(os.environ.get("SCALE_N", "2"))
     n_hi = 4 * n_lo
     reps = int(os.environ.get("SCALE_REPS", "2"))
 
-    def steal() -> int:
-        return int(open("/proc/stat").readline().split()[8])
-
     best: dict[int, float] = {}
+    screen: dict[int, dict] = {}
     for ncpu in (n_lo, n_hi):
         clean, attempts = 0, 0
         while clean < reps and attempts < reps + 4:
             attempts += 1
-            s0 = steal()
+            s0 = steal_jiffies()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "run",
                  str(ncpu), op],
                 capture_output=True, text=True, check=True,
             ).stdout
             sec = json.loads(out.strip().splitlines()[-1])[op]["sec"]
-            stolen = (steal() - s0) / 100.0
+            stolen = (steal_jiffies() - s0) / 100.0
             if stolen <= 0.05 * ncpu * sec:
                 clean += 1
+            # min-of-attempts is safe: steal only slows a run
             if ncpu not in best or sec < best[ncpu]:
                 best[ncpu] = sec
+        screen[ncpu] = {"clean": clean, "attempts": attempts}
     eff = (best[n_lo] / best[n_hi]) / (n_hi / n_lo)
     rows = PARTS * ROWS
     print(json.dumps({
         "pipeline": op, "rows": rows, "n_lo": n_lo, "n_hi": n_hi,
+        # clean == 0 at a level -> the number is unscreened; don't record it
+        "steal_screen": {str(k): v for k, v in screen.items()},
         f"sec_{n_lo}": best[n_lo], f"sec_{n_hi}": best[n_hi],
         f"events_per_sec_{n_lo}": round(rows / best[n_lo]),
         f"events_per_sec_{n_hi}": round(rows / best[n_hi]),

@@ -563,7 +563,8 @@ def hash_sample(
             np.int64, len(ids),
         )
         ix = pc.fill_null(
-            pc.index_in(t["lang"], value_set=pa.array(list(th.keys()))),
+            pc.index_in(t["lang"], value_set=pa.array(list(th.keys()),
+                                                      type=t["lang"].type)),
             len(th))
         vals = np.append(np.fromiter(th.values(), np.int64, len(th)),
                          default_threshold)
@@ -795,7 +796,8 @@ def temperature_sample(
             np.int64, len(ids),
         )
         ix = pc.fill_null(
-            pc.index_in(t[part_col], value_set=pa.array(list(cuts.keys()))),
+            pc.index_in(t[part_col], value_set=pa.array(list(cuts.keys()),
+                                                        type=t[part_col].type)),
             len(cuts))
         vals = np.append(np.fromiter(cuts.values(), np.int64, len(cuts)), 0)
         cut = vals[ix.to_numpy(zero_copy_only=False).astype(np.int64)]

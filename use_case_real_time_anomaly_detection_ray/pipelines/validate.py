@@ -641,8 +641,12 @@ def schema_violations(parts: dict[int, list[str]]) -> pa.Table:
             "part": pa.array([p for p, _ in items], pa.int32()),
             "frag": pa.array([f for _, f in items], pa.string()),
         }))
+        # from_arrow yields ONE block (textops precedent) — split it, or
+        # the "fan-out" runs every footer read in a single task
+        nb = max(2, -(-len(items) // max(1, SCHEMA_FANOUT_ABOVE)))
         out = to_arrow_single(
-            frag_ds.map_batches(_schema_check_batch, batch_format="pyarrow"))
+            frag_ds.repartition(nb)
+            .map_batches(_schema_check_batch, batch_format="pyarrow"))
     return out.sort_by([("part", "ascending"), ("path", "ascending"),
                         ("note", "ascending")])
 

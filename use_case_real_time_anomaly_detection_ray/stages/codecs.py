@@ -982,6 +982,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1:i + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated DHT segment (BITS list cut)")
                 nv = sum(bits)
                 vals = list(seg[i + 17:i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
@@ -1378,11 +1380,18 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
         off += size
 
 
-def _mp4_child(buf: bytes, start: int, end: int, btype: bytes):
+def _mp4_child_opt(buf: bytes, start: int, end: int, btype: bytes):
     for t, s, e in _mp4_boxes(buf, start, end):
         if t == btype:
             return s, e
-    raise ValueError(f"mp4: missing {btype.decode()} box")
+    return None
+
+
+def _mp4_child(buf: bytes, start: int, end: int, btype: bytes):
+    found = _mp4_child_opt(buf, start, end, btype)
+    if found is None:
+        raise ValueError(f"mp4: missing {btype.decode()} box")
+    return found
 
 
 def _mp4_sample_table(payload: bytes):
@@ -1430,14 +1439,17 @@ def _mp4_sample_table(payload: bytes):
             raise ValueError("mp4: stsz shorter than sample_count")
         sizes = np.frombuffer(payload, ">u4", count=n,
                               offset=zs + 12).astype(np.int64)
-    try:
-        cs, ce = _mp4_child(payload, *stbl, b"stco")
+    # probe for stco FIRST so a present-but-truncated stco surfaces as its
+    # own error instead of being masked as "missing co64"
+    stco = _mp4_child_opt(payload, *stbl, b"stco")
+    if stco is not None:
+        cs, ce = stco
         n_chunks = struct.unpack_from(">I", payload, cs + 4)[0]
         if ce - cs - 8 < 4 * n_chunks:
             raise ValueError("mp4: stco shorter than entry_count")
         chunk_offs = np.frombuffer(payload, ">u4", count=n_chunks,
                                    offset=cs + 8).astype(np.int64)
-    except ValueError:
+    else:
         cs, ce = _mp4_child(payload, *stbl, b"co64")
         n_chunks = struct.unpack_from(">I", payload, cs + 4)[0]
         if ce - cs - 8 < 8 * n_chunks:

@@ -117,7 +117,12 @@ class DedupShard:
             # distinct absent key, and claim losers just lost their slot
             slot[active] = (slot[active] + _ONE) & self._mask
 
-    def check_and_add(self, hashes: np.ndarray, tick: str = "") -> np.ndarray:
+    def check_and_add(self, hashes: np.ndarray, tick: str) -> np.ndarray:
+        # `tick` is REQUIRED: owned-by-this-tick re-admission (the Ray
+        # retry-idempotence contract) means two calls sharing one tick
+        # label do NOT dedup against each other — a constant default
+        # would silently turn cross-batch dedup off for any caller that
+        # forgot the label. Pass a distinct label per tick/micro-batch.
         h = np.asarray(hashes, np.uint64)
         n = len(h)
         out = np.zeros(n, bool)
@@ -193,7 +198,7 @@ class DedupIndex:
         self.n_shards = int(n_shards)
         self.shards = [DedupShard.remote() for _ in range(self.n_shards)]
 
-    def filter_new(self, hashes: np.ndarray, tick: str = "") -> np.ndarray:
+    def filter_new(self, hashes: np.ndarray, tick: str) -> np.ndarray:
         h = np.asarray(hashes, dtype=np.uint64)
         shard_of = (h % np.uint64(self.n_shards)).astype(np.int64)
         mask = np.empty(len(h), bool)
