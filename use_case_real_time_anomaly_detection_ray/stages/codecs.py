@@ -1134,49 +1134,63 @@ def _encode_blocks(plane: np.ndarray, q: np.ndarray, bw: _BitWriter,
     """FDCT + quantize + entropy-code every 8x8 block of one component
     plane (already padded to multiples of 8), row-major. Returns the final
     DC predictor."""
+    Fi = _fdct_quant(plane, q)
+    for n in range(len(Fi)):
+        pred = _code_block(Fi[n], bw, dc_codes, ac_codes, pred)
+    return pred
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize EVERY 8x8 block of a plane in one vectorized pass →
+    (n_blocks, 64) int64 coefficients in raster block order."""
     hb, wb = plane.shape[0] // 8, plane.shape[1] // 8
     f = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).astype(np.float64)
     f -= 128.0
     A = _JPEG_A
     F = np.einsum("xu,nmxy,yv->nmuv", A.T, f, A.T)  # F = A f Aᵀ
     Fq = F.reshape(hb * wb, 64) / q
-    Fi = np.where(Fq >= 0, np.floor(Fq + 0.5), np.ceil(Fq - 0.5)).astype(np.int64)
+    return np.where(Fq >= 0, np.floor(Fq + 0.5),
+                    np.ceil(Fq - 0.5)).astype(np.int64)
+
+
+def _code_block(coef: np.ndarray, bw: _BitWriter, dc_codes, ac_codes,
+                pred: int) -> int:
+    """Entropy-code one block's 64 quantized coefficients; returns the new
+    DC predictor."""
     zz = _JPEG_ZIGZAG
-    for n in range(hb * wb):
-        coef = Fi[n]
-        diff = int(coef[0]) - pred
-        pred = int(coef[0])
-        s = abs(diff).bit_length()
-        mag = diff if diff >= 0 else diff + (1 << s) - 1
-        code, ln = dc_codes[s]
-        bw.write(code, ln)
-        if s:
-            bw.write(mag, s)
-        run = 0
-        zzc = coef[zz]
-        nz = np.flatnonzero(zzc[1:]) + 1
-        last = nz[-1] if len(nz) else 0
-        k = 1
-        while k <= last:
-            v = int(zzc[k])
-            if v == 0:
-                run += 1
-                k += 1
-                continue
-            while run >= 16:
-                code, ln = ac_codes[0xF0]
-                bw.write(code, ln)
-                run -= 16
-            s = abs(v).bit_length()
-            mag = v if v >= 0 else v + (1 << s) - 1
-            code, ln = ac_codes[(run << 4) | s]
-            bw.write(code, ln)
-            bw.write(mag, s)
-            run = 0
+    diff = int(coef[0]) - pred
+    pred = int(coef[0])
+    s = abs(diff).bit_length()
+    mag = diff if diff >= 0 else diff + (1 << s) - 1
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(mag, s)
+    run = 0
+    zzc = coef[zz]
+    nz = np.flatnonzero(zzc[1:]) + 1
+    last = nz[-1] if len(nz) else 0
+    k = 1
+    while k <= last:
+        v = int(zzc[k])
+        if v == 0:
+            run += 1
             k += 1
-        if last < 63:
-            code, ln = ac_codes[0x00]
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
             bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        mag = v if v >= 0 else v + (1 << s) - 1
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(mag, s)
+        run = 0
+        k += 1
+    if last < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
     return pred
 
 
@@ -1251,6 +1265,10 @@ def encode_jpeg(img: np.ndarray, quant: "np.ndarray | int" = 1,
         # decoder's scan
         padded = [_pad8(p) for p in planes]
         hb, wb = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+        # FDCT+quantize each whole component once (one vectorized pass per
+        # plane, like the grayscale path); the MCU walk below only does
+        # entropy coding over the precomputed coefficient rows
+        coefs = [_fdct_quant(p, q) for p in padded]
         preds = [0] * nc
         codes = ([(dc_l, ac_l)] + [(dc_c, ac_c)] * 2)[:nc]
         rst = 0
@@ -1263,8 +1281,8 @@ def encode_jpeg(img: np.ndarray, quant: "np.ndarray | int" = 1,
                     preds = [0] * nc
                 mi += 1
                 for c in range(nc):
-                    blk = padded[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                    preds[c] = _encode_blocks(blk, q, bw, *codes[c], preds[c])
+                    preds[c] = _code_block(coefs[c][by * wb + bx], bw,
+                                           *codes[c], preds[c])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
